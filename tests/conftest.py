@@ -8,7 +8,6 @@ answer to "multi-node tests without a cluster".
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +16,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# jax may already be imported (and JAX_PLATFORMS captured) by an interpreter
+# startup hook, so override via config rather than the environment.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
 import pytest  # noqa: E402
