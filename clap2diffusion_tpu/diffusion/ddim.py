@@ -1,0 +1,139 @@
+"""Noise schedule + DDIM sampler with CFG as a single ``lax.scan``.
+
+The reference intends (but stubs) a 50-step DDIM loop with CFG 7.5
+(reference scripts/inference.py:153-166, :107-108). TPU-native design: the
+whole denoising loop is one ``lax.scan`` over timesteps inside ``jit`` — one
+compilation, no host round-trips; the conditional/unconditional UNet passes
+are batched into a single forward (batch 2B) so the MXU sees one large
+matmul stream.
+
+Schedule: SD v1.5 scaled-linear betas (0.00085 -> 0.012, 1000 steps),
+leading-spaced inference timesteps with steps_offset 1, eta=0,
+epsilon-prediction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from clap2diffusion_tpu.core.config import SchedulerConfig
+
+
+@dataclass(frozen=True)
+class NoiseSchedule:
+    alphas_cumprod: jax.Array  # [T]
+    num_train_timesteps: int
+
+    @classmethod
+    def create(cls, cfg: SchedulerConfig) -> "NoiseSchedule":
+        t = cfg.num_train_timesteps
+        if cfg.beta_schedule == "scaled_linear":
+            betas = (
+                jnp.linspace(cfg.beta_start**0.5, cfg.beta_end**0.5, t,
+                             dtype=jnp.float64 if jax.config.read("jax_enable_x64") else jnp.float32)
+                ** 2
+            )
+        elif cfg.beta_schedule == "linear":
+            betas = jnp.linspace(cfg.beta_start, cfg.beta_end, t, dtype=jnp.float32)
+        else:
+            raise ValueError(f"unknown beta schedule {cfg.beta_schedule!r}")
+        alphas_cumprod = jnp.cumprod(1.0 - betas).astype(jnp.float32)
+        return cls(alphas_cumprod=alphas_cumprod, num_train_timesteps=t)
+
+    def add_noise(self, x0: jax.Array, noise: jax.Array, t: jax.Array) -> jax.Array:
+        """Forward diffusion q(x_t | x_0). ``t`` is integer [B]."""
+        a = self.alphas_cumprod[t]
+        shape = (-1,) + (1,) * (x0.ndim - 1)
+        sqrt_a = jnp.sqrt(a).reshape(shape).astype(x0.dtype)
+        sqrt_1ma = jnp.sqrt(1.0 - a).reshape(shape).astype(x0.dtype)
+        return sqrt_a * x0 + sqrt_1ma * noise
+
+
+def ddim_timesteps(num_inference_steps: int, num_train_timesteps: int = 1000,
+                   steps_offset: int = 1) -> jax.Array:
+    """Leading-spaced DDIM timesteps, descending (SD v1.5 convention)."""
+    step = num_train_timesteps // num_inference_steps
+    t = (jnp.arange(num_inference_steps) * step + steps_offset)
+    return t[::-1].astype(jnp.int32)
+
+
+def ddim_step(
+    schedule: NoiseSchedule,
+    latents: jax.Array,
+    eps: jax.Array,
+    t: jax.Array,
+    t_prev: jax.Array,
+) -> jax.Array:
+    """One deterministic DDIM update (eta=0, epsilon prediction).
+
+    ``t_prev < 0`` means the final step; alpha_prev then falls back to
+    alphas_cumprod[0] (set_alpha_to_one=False, SD v1.5 scheduler config).
+    """
+    a_t = schedule.alphas_cumprod[t]
+    a_prev = jnp.where(
+        t_prev >= 0,
+        schedule.alphas_cumprod[jnp.maximum(t_prev, 0)],
+        schedule.alphas_cumprod[0],
+    )
+    lat32 = latents.astype(jnp.float32)
+    eps32 = eps.astype(jnp.float32)
+    x0 = (lat32 - jnp.sqrt(1.0 - a_t) * eps32) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(1.0 - a_prev) * eps32
+    return (jnp.sqrt(a_prev) * x0 + dir_xt).astype(latents.dtype)
+
+
+def ddim_sample(
+    eps_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    schedule: NoiseSchedule,
+    latents: jax.Array,
+    num_inference_steps: int = 50,
+) -> jax.Array:
+    """Run the full DDIM loop as one lax.scan.
+
+    ``eps_fn(latents, t)`` predicts epsilon (CFG folding happens inside it —
+    see ``cfg_eps_fn``).
+    """
+    ts = ddim_timesteps(num_inference_steps, schedule.num_train_timesteps)
+    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+
+    def body(lat, tt):
+        t, t_prev = tt
+        eps = eps_fn(lat, t)
+        return ddim_step(schedule, lat, eps, t, t_prev), None
+
+    final, _ = jax.lax.scan(body, latents, (ts, ts_prev))
+    return final
+
+
+def cfg_eps_fn(
+    unet_apply: Callable,
+    context_cond,
+    context_uncond,
+    guidance_scale: float,
+    audio_cond=None,
+    audio_uncond=None,
+):
+    """Build an eps_fn folding classifier-free guidance into ONE batched
+    UNet forward: [uncond; cond] along the batch axis."""
+
+    def tree_cat(a, b):
+        if a is None and b is None:
+            return None
+        return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0), a, b)
+
+    ctx = tree_cat(context_uncond, context_cond)
+    audio = tree_cat(audio_uncond, audio_cond)
+
+    def eps_fn(latents: jax.Array, t: jax.Array) -> jax.Array:
+        b = latents.shape[0]
+        lat2 = jnp.concatenate([latents, latents], axis=0)
+        t2 = jnp.full((2 * b,), t, jnp.int32)
+        eps2 = unet_apply(lat2, t2, ctx, audio)
+        eps_u, eps_c = eps2[:b], eps2[b:]
+        return eps_u + guidance_scale * (eps_c - eps_u)
+
+    return eps_fn

@@ -1,0 +1,272 @@
+"""Stable Diffusion v1.5 UNet in Flax, TPU-native (NHWC), with built-in
+level-routed audio conditioning.
+
+The reference conditions a diffusers UNet by monkey-patching attention
+processors at runtime (reference models/audio_attention_processor.py:148-255).
+Here the audio branch is part of the architecture: per-level ``AudioInjection``
+modules transform the text encoder states once at UNet entry (mathematically
+identical to the reference's shared per-level processors, since the transform
+depends only on the text states and the level's audio tokens), and each
+cross-attention layer reads the conditioned states for its level. The
+early/mid/late -> block mapping mirrors reference :175-191 and lives in
+``UNetConfig`` (core/config.py).
+
+Geometry matches SD v1.5 (``runwayml/stable-diffusion-v1-5`` unet config):
+blocks (320, 640, 1280, 1280), 2 layers/block, 8 heads, cross-attn dim 768,
+GEGLU feed-forward, conv 1x1 transformer projections. Weight conversion from
+torch checkpoints: models/convert.py.
+
+TPU notes: everything is NHWC so convs map directly onto the MXU; attention
+softmax is fp32; UNet self-attention over 64x64=4096 tokens routes to the
+Pallas flash kernel when ``cfg.flash_attention`` and shapes allow.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from clap2diffusion_tpu.core.config import UNetConfig
+from clap2diffusion_tpu.models.condition.inject import AudioInjection
+from clap2diffusion_tpu.ops.attention import mha
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10_000.0) -> jax.Array:
+    """Sinusoidal embeddings, SD convention (flip_sin_to_cos, freq_shift 0)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    # flip_sin_to_cos=True => [cos, sin]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class TimeEmbedding(nn.Module):
+    """320-d sinusoid -> 1280-d MLP."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t_emb: jax.Array) -> jax.Array:
+        h = nn.Dense(self.dim, name="linear_1")(t_emb)
+        h = nn.silu(h)
+        return nn.Dense(self.dim, name="linear_2")(h)
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
+        t = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    """QKV attention; context defaults to the hidden states (self-attn)."""
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    num_heads: int = 8
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
+        ctx = x if context is None else context
+        q = nn.Dense(self.query_dim, use_bias=False, name="to_q")(x)
+        k = nn.Dense(self.query_dim, use_bias=False, name="to_k")(ctx)
+        v = nn.Dense(self.query_dim, use_bias=False, name="to_v")(ctx)
+        out = mha(q, k, v, self.num_heads, use_flash=self.use_flash)
+        return nn.Dense(self.query_dim, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, name="proj_in")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, name="proj_out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    num_heads: int
+    context_dim: int
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        x = x + CrossAttention(
+            query_dim=self.dim, num_heads=self.num_heads,
+            use_flash=self.use_flash, name="attn1",
+        )(nn.LayerNorm(name="norm1")(x))
+        x = x + CrossAttention(
+            query_dim=self.dim, context_dim=self.context_dim,
+            num_heads=self.num_heads, name="attn2",
+        )(nn.LayerNorm(name="norm2")(x), context)
+        x = x + GEGLUFeedForward(dim=self.dim, name="ff")(
+            nn.LayerNorm(name="norm3")(x)
+        )
+        return x
+
+
+class Transformer2D(nn.Module):
+    """Spatial transformer: conv-project, attend over H*W tokens, project back."""
+
+    channels: int
+    num_heads: int
+    context_dim: int
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        residual = x
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        x = nn.Conv(self.channels, (1, 1), name="proj_in")(x)
+        x = x.reshape(b, h * w, c)
+        x = BasicTransformerBlock(
+            dim=self.channels, num_heads=self.num_heads,
+            context_dim=self.context_dim, use_flash=self.use_flash,
+            name="block_0",
+        )(x, context)
+        x = x.reshape(b, h, w, c)
+        x = nn.Conv(self.channels, (1, 1), name="proj_out")(x)
+        return x + residual
+
+
+class Downsample(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(self.channels, (3, 3), strides=2, padding=1, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, name="conv")(x)
+
+
+class UNet2DCondition(nn.Module):
+    """SD v1.5 UNet with optional audio-conditioned cross-attention.
+
+    ``__call__(sample [B,H,W,4], timesteps [B], encoder_hidden_states
+    [B,77,768], audio_routed={'early','mid','late': [B,K,768]} | None)``
+    -> epsilon prediction [B,H,W,4].
+    """
+
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jax.Array,
+        timesteps: jax.Array,
+        encoder_hidden_states: jax.Array,
+        audio_routed: Optional[Dict[str, jax.Array]] = None,
+    ) -> jax.Array:
+        cfg = self.cfg
+        block_ch = cfg.block_out_channels
+        temb = timestep_embedding(timesteps, block_ch[0])
+        temb = TimeEmbedding(dim=block_ch[0] * 4, name="time_embedding")(
+            temb.astype(sample.dtype)
+        )
+
+        # Per-level audio-conditioned text states, computed once (see module
+        # docstring). Shared per level like the reference's per-level
+        # processors (reference models/audio_attention_processor.py:234-246).
+        ctx_by_level = {"early": encoder_hidden_states,
+                        "mid": encoder_hidden_states,
+                        "late": encoder_hidden_states}
+        if cfg.audio_inject:
+            for lvl in ("early", "mid", "late"):
+                tokens = None if audio_routed is None else audio_routed.get(lvl)
+                ctx_by_level[lvl] = AudioInjection(
+                    audio_dim=cfg.cross_attention_dim,
+                    hidden_dim=cfg.cross_attention_dim,
+                    name=f"audio_inject_{lvl}",
+                )(encoder_hidden_states, tokens)
+
+        h = nn.Conv(block_ch[0], (3, 3), padding=1, name="conv_in")(sample)
+        skips = [h]
+
+        # Down path
+        for i, ch in enumerate(block_ch):
+            has_attn = cfg.cross_attn_blocks[i]
+            ctx = ctx_by_level[cfg.down_block_levels[i]]
+            for j in range(cfg.layers_per_block):
+                h = ResnetBlock(
+                    out_channels=ch, name=f"down_{i}_resnet_{j}"
+                )(h, temb)
+                if has_attn:
+                    h = Transformer2D(
+                        channels=ch, num_heads=cfg.num_attention_heads,
+                        context_dim=cfg.cross_attention_dim,
+                        use_flash=cfg.flash_attention,
+                        name=f"down_{i}_attn_{j}",
+                    )(h, ctx)
+                skips.append(h)
+            if i < len(block_ch) - 1:
+                h = Downsample(channels=ch, name=f"down_{i}_downsample")(h)
+                skips.append(h)
+
+        # Mid
+        ctx = ctx_by_level[cfg.mid_block_level]
+        h = ResnetBlock(out_channels=block_ch[-1], name="mid_resnet_0")(h, temb)
+        h = Transformer2D(
+            channels=block_ch[-1], num_heads=cfg.num_attention_heads,
+            context_dim=cfg.cross_attention_dim, use_flash=cfg.flash_attention,
+            name="mid_attn",
+        )(h, ctx)
+        h = ResnetBlock(out_channels=block_ch[-1], name="mid_resnet_1")(h, temb)
+
+        # Up path (reversed channels; one extra resnet per block for skips)
+        for i, ch in enumerate(reversed(block_ch)):
+            block_idx = len(block_ch) - 1 - i
+            has_attn = cfg.cross_attn_blocks[block_idx]
+            ctx = ctx_by_level[cfg.up_block_levels[i]]
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResnetBlock(out_channels=ch, name=f"up_{i}_resnet_{j}")(h, temb)
+                if has_attn:
+                    h = Transformer2D(
+                        channels=ch, num_heads=cfg.num_attention_heads,
+                        context_dim=cfg.cross_attention_dim,
+                        use_flash=cfg.flash_attention,
+                        name=f"up_{i}_attn_{j}",
+                    )(h, ctx)
+            if i < len(block_ch) - 1:
+                h = Upsample(channels=ch, name=f"up_{i}_upsample")(h)
+
+        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                         name="conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out")(h)

@@ -1,0 +1,180 @@
+"""UNet / VAE / CLIP-text / DDIM tests.
+
+Forward passes run at tiny geometry (CPU CI); the full SD v1.5 geometry is
+validated by abstract param-count parity against the known torch checkpoints
+(UNet 859,520,964; AutoencoderKL 83,653,863; CLIP text 123,060,480) via
+eval_shape — no memory allocated.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clap2diffusion_tpu.core.config import (
+    CLIPTextConfig,
+    SchedulerConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from clap2diffusion_tpu.diffusion.ddim import (
+    NoiseSchedule,
+    cfg_eps_fn,
+    ddim_sample,
+    ddim_step,
+    ddim_timesteps,
+)
+from clap2diffusion_tpu.models.clip_text import CLIPTextEncoder
+from clap2diffusion_tpu.models.unet import UNet2DCondition
+from clap2diffusion_tpu.models.vae import AutoencoderKL
+
+TINY_UNET = UNetConfig(
+    block_out_channels=(32, 64, 64, 64),
+    layers_per_block=2,
+    num_attention_heads=4,
+    cross_attention_dim=64,
+    norm_num_groups=8,
+    sample_size=16,
+    flash_attention=False,
+)
+TINY_VAE = VAEConfig(block_out_channels=(16, 32, 32, 32), norm_num_groups=8)
+
+
+def n_params_abstract(model, *args, method=None):
+    shapes = jax.eval_shape(
+        model.init if method is None else lambda r, *a: model.init(r, *a, method=method),
+        jax.random.key(0),
+        *args,
+    )
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes))
+
+
+def test_tiny_unet_forward_with_audio():
+    model = UNet2DCondition(cfg=TINY_UNET)
+    sample = jnp.ones((2, 16, 16, 4))
+    t = jnp.array([10, 500])
+    ctx = jnp.ones((2, 77, 64))
+    audio = {lvl: jnp.ones((2, 10, 64)) for lvl in ("early", "mid", "late")}
+    v = model.init(jax.random.key(0), sample, t, ctx, audio)
+    out = model.apply(v, sample, t, ctx, audio)
+    assert out.shape == (2, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # no-audio path shares the same params (injection modules always exist)
+    out2 = model.apply(v, sample, t, ctx, None)
+    assert out2.shape == (2, 16, 16, 4)
+    # audio changes the prediction
+    assert float(jnp.abs(out - out2).max()) > 0
+
+
+def test_full_unet_param_parity_sd15():
+    cfg = UNetConfig(audio_inject=False)
+    model = UNet2DCondition(cfg=cfg)
+    n = n_params_abstract(
+        model,
+        jnp.ones((1, 64, 64, 4)),
+        jnp.ones((1,), jnp.int32),
+        jnp.ones((1, 77, 768)),
+    )
+    assert n == 859_520_964  # diffusers runwayml/stable-diffusion-v1-5 UNet
+
+
+def test_full_vae_param_parity_sd15():
+    model = AutoencoderKL(cfg=VAEConfig())
+    n = n_params_abstract(
+        model, jnp.ones((1, 64, 64, 3)), jax.random.key(1)
+    )
+    assert n == 83_653_863  # diffusers AutoencoderKL (SD v1.5)
+
+
+def test_full_clip_text_param_parity():
+    model = CLIPTextEncoder(cfg=CLIPTextConfig())
+    n = n_params_abstract(model, jnp.ones((1, 77), jnp.int32))
+    assert n == 123_060_480  # openai/clip-vit-large-patch14 text tower
+
+
+def test_tiny_vae_roundtrip_shapes():
+    model = AutoencoderKL(cfg=TINY_VAE)
+    x = jnp.ones((1, 32, 32, 3))
+    v = model.init(jax.random.key(0), x, jax.random.key(1))
+    mean, logvar = model.apply(v, x, method=AutoencoderKL.encode)
+    assert mean.shape == (1, 4, 4, 4)
+    z = model.apply(v, x, jax.random.key(2), method=AutoencoderKL.sample_latent)
+    img = model.apply(v, z, method=AutoencoderKL.decode_latent)
+    assert img.shape == (1, 32, 32, 3)
+
+
+def test_clip_text_forward_tiny():
+    cfg = CLIPTextConfig(vocab_size=1000, hidden_size=64, num_layers=2,
+                         num_heads=4, intermediate_size=128)
+    model = CLIPTextEncoder(cfg=cfg)
+    ids = jnp.array([[1, 2, 3, 4] * 19 + [0]])
+    v = model.init(jax.random.key(0), ids)
+    out = model.apply(v, ids)
+    assert out.shape == (1, 77, 64)
+    # causal: token 0's embedding must not depend on later tokens
+    ids2 = ids.at[0, -1].set(99)
+    out2 = model.apply(v, ids2)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(out2[0, 0]),
+                               atol=1e-5)
+
+
+def test_schedule_matches_sd15_reference_values():
+    s = NoiseSchedule.create(SchedulerConfig())
+    # known SD v1.5 endpoints of the scaled-linear cumulative product
+    assert float(s.alphas_cumprod[0]) == pytest.approx(1 - 0.00085, rel=1e-5)
+    assert 0.004 < float(s.alphas_cumprod[-1]) < 0.006
+    # monotone decreasing in (0, 1]
+    a = np.asarray(s.alphas_cumprod)
+    assert (np.diff(a) < 0).all() and a.min() > 0 and a.max() <= 1.0
+
+
+def test_ddim_timesteps_leading_offset():
+    ts = np.asarray(ddim_timesteps(50))
+    assert ts[0] == 981 and ts[-1] == 1
+    assert len(ts) == 50 and (np.diff(ts) == -20).all()
+
+
+def test_ddim_perfect_eps_recovers_x0():
+    """If eps_fn returns the exact noise, DDIM must walk back to ~x0."""
+    s = NoiseSchedule.create(SchedulerConfig())
+    key = jax.random.key(0)
+    x0 = jax.random.normal(key, (1, 8, 8, 4)) * 0.5
+    noise = jax.random.normal(jax.random.key(1), x0.shape)
+    t_start = jnp.array([981])
+    xt = s.add_noise(x0, noise, t_start)
+    final = ddim_sample(lambda lat, t: noise, s, xt, num_inference_steps=50)
+    # with exact eps, x0_pred stays exactly x0 at every step, and the final
+    # state is sqrt(a_0) x0 + sqrt(1-a_0) eps (set_alpha_to_one=False)
+    a0 = s.alphas_cumprod[0]
+    expected = jnp.sqrt(a0) * x0 + jnp.sqrt(1 - a0) * noise
+    np.testing.assert_allclose(np.asarray(final), np.asarray(expected), atol=1e-4)
+    # and that is ~x0 up to the small residual noise floor
+    assert float(jnp.abs(final - x0).mean()) < 0.05
+
+
+def test_cfg_folding():
+    """guidance 1.0 == pure conditional; uncond==cond collapses guidance."""
+    calls = {}
+
+    def unet_apply(lat, t, ctx, audio):
+        calls["batch"] = lat.shape[0]
+        # pseudo-UNet: eps depends linearly on context mean
+        return lat * 0 + jnp.mean(ctx) + 0 * lat
+
+    ctx_c = jnp.ones((1, 4, 8)) * 2.0
+    ctx_u = jnp.ones((1, 4, 8)) * 1.0
+    fn = cfg_eps_fn(unet_apply, ctx_c, ctx_u, guidance_scale=7.5)
+    lat = jnp.zeros((1, 2, 2, 4))
+    eps = fn(lat, jnp.array(10))
+    assert calls["batch"] == 2  # one folded forward
+    # eps = u + 7.5 (c - u) with c=2, u=1 -> 8.5... but mean(ctx) is shared
+    # since tree_cat merges: mean([1,2])=1.5 for both halves -> eps==1.5
+    # Verify with distinguishable apply instead:
+    def unet_apply2(lat, t, ctx, audio):
+        half = ctx.shape[0] // 2
+        per = jnp.mean(ctx, axis=(1, 2))
+        return lat + per[:, None, None, None]
+
+    fn2 = cfg_eps_fn(unet_apply2, ctx_c, ctx_u, guidance_scale=7.5)
+    eps2 = fn2(lat, jnp.array(10))
+    assert float(eps2[0, 0, 0, 0]) == pytest.approx(1.0 + 7.5 * (2.0 - 1.0))
