@@ -27,7 +27,7 @@ class AudioFrontendConfig:
     """Waveform -> log-mel frontend, matching HF CLAP's feature extractor.
 
     (reference models/audio_encoder.py:25-26 uses 48 kHz / 10 s;
-    HF ClapFeatureExtractor: 64 mels, hop 480, fft 1024, fmin 50, fmax 14000.)
+    HF ClapFeatureExtractor: 64 mels, hop 480, fft 1024, fmin 0, fmax 14000.)
     """
 
     sample_rate: int = 48_000
@@ -35,7 +35,7 @@ class AudioFrontendConfig:
     n_fft: int = 1024
     hop_length: int = 480
     num_mel_bins: int = 64
-    f_min: float = 50.0
+    f_min: float = 0.0
     f_max: float = 14_000.0
     # HTSAT consumes a fixed 1024-frame spectrogram image.
     max_frames: int = 1024
@@ -78,6 +78,7 @@ class CLAPTextConfig:
     num_heads: int = 12
     intermediate_size: int = 3072
     max_position_embeddings: int = 514
+    type_vocab_size: int = 1
     layer_norm_eps: float = 1e-12
     projection_dim: int = 512
     pad_token_id: int = 1

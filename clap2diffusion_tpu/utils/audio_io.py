@@ -1,0 +1,124 @@
+"""Audio IO without librosa/torchaudio: pure-numpy WAV decode + resampling.
+
+The reference leans on librosa/torchaudio for decode+resample (reference
+models/audio_encoder.py:87-131, data/dataset.py:208-210,
+scripts/prepare_data.py:16-31); neither ships in this image, and the hot
+path only needs WAV. ``read_wav`` handles PCM 8/16/24/32-bit and
+IEEE-float WAVs; ``resample_poly`` is a windowed-sinc polyphase resampler
+(kaiser window), the same algorithm family scipy.signal.resample_poly uses.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import wave
+from fractions import Fraction
+from typing import Tuple
+
+import numpy as np
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a WAV file -> (float32 array [channels, samples] or [samples], sr)."""
+    with open(path, "rb") as f:
+        header = f.read(12)
+        if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        fmt = None
+        data = None
+        while True:
+            chunk = f.read(8)
+            if len(chunk) < 8:
+                break
+            cid, size = chunk[:4], struct.unpack("<I", chunk[4:])[0]
+            payload = f.read(size + (size & 1))[:size]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", payload[:16])
+            elif cid == b"data":
+                data = payload
+        if fmt is None or data is None:
+            raise ValueError(f"{path}: missing fmt/data chunk")
+    audio_format, channels, sr, _, _, bits = fmt
+    if audio_format == 3:  # IEEE float
+        dtype = np.float32 if bits == 32 else np.float64
+        x = np.frombuffer(data, dtype=dtype).astype(np.float32)
+    elif audio_format in (1, 0xFFFE):  # PCM (or extensible, assume PCM)
+        if bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 24:
+            raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            vals = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+            x = vals.astype(np.float32) / float(1 << 23)
+        else:
+            raise ValueError(f"{path}: unsupported PCM bit depth {bits}")
+    else:
+        raise ValueError(f"{path}: unsupported WAV format code {audio_format}")
+    if channels > 1:
+        x = x.reshape(-1, channels).T
+    return x, sr
+
+
+def write_wav(path: str, x: np.ndarray, sr: int) -> None:
+    """Write float32 [-1,1] mono/stereo -> 16-bit PCM WAV."""
+    x = np.asarray(x, dtype=np.float32)
+    if x.ndim == 2:
+        x = x.T  # [samples, channels]
+        channels = x.shape[1]
+    else:
+        channels = 1
+    pcm = np.clip(x, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def _kaiser_sinc_filter(num_zeros: int, per_phase: int, cutoff: float, beta: float = 8.555) -> np.ndarray:
+    half = num_zeros * per_phase
+    n = np.arange(-half, half + 1, dtype=np.float64)
+    t = n / per_phase
+    h = cutoff * np.sinc(cutoff * t)
+    h *= np.kaiser(len(h), beta)
+    return h
+
+
+def resample_poly(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling of 1-D float audio (windowed-sinc, kaiser beta 8.555)."""
+    if orig_sr == target_sr:
+        return np.asarray(x, dtype=np.float32)
+    frac = Fraction(target_sr, orig_sr)
+    up, down = frac.numerator, frac.denominator
+    x = np.asarray(x, dtype=np.float64)
+
+    cutoff = min(1.0 / up, 1.0 / down)
+    h = _kaiser_sinc_filter(num_zeros=16, per_phase=max(up, down), cutoff=cutoff)
+    h = h * up
+
+    # upsample by zero-stuffing, filter, downsample
+    n_up = len(x) * up
+    xu = np.zeros(n_up, dtype=np.float64)
+    xu[::up] = x
+    y = np.convolve(xu, h, mode="full")
+    delay = (len(h) - 1) // 2
+    y = y[delay : delay + n_up : down]
+    out_len = int(math.ceil(len(x) * up / down))
+    return y[:out_len].astype(np.float32)
+
+
+def peak_normalize(x: np.ndarray, eps: float = 1e-9) -> np.ndarray:
+    """Peak-normalize like the reference's inference path
+    (reference scripts/inference.py:73-83)."""
+    peak = np.abs(x).max()
+    return (x / (peak + eps)).astype(np.float32) if peak > 0 else x.astype(np.float32)
