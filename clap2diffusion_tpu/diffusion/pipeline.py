@@ -1,0 +1,265 @@
+"""End-to-end audio+text -> image pipeline.
+
+Implements (for real) the path the reference stubs out
+(reference scripts/inference.py:101-166: CLAP encode -> hierarchical tokens +
+Norm-60 -> DDIM with CFG -> image; the CLAP embed and SD sampling there are
+placeholders returning random tensors).
+
+Everything after host-side audio decode is ONE jit-compiled function per
+(batch, steps, mode): log-mel -> HTSAT -> hierarchical conditioning ->
+50-step DDIM lax.scan with folded CFG -> VAE decode. The conditional and
+unconditional UNet passes are batched (2B), and — matching the reference's
+diffusers semantics, where one ``cross_attention_kwargs`` serves the whole
+doubled batch — the audio conditioning applies to both CFG halves; the
+guidance contrast comes from the text prompt.
+
+Model types (reference app/gradio_app.py:113-118):
+- ``hierarchical``: routed early/mid/late injection + CLIP text context.
+- ``sonic``: 16 adapter tokens (Norm-60) injected at every level.
+- ``baseline``: text only.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clap2diffusion_tpu.core.config import Config
+from clap2diffusion_tpu.models.clap.frontend import log_mel_spectrogram, prepare_waveform
+from clap2diffusion_tpu.models.clap.htsat import ClapAudioTower
+from clap2diffusion_tpu.models.clip_text import CLIPTextEncoder
+from clap2diffusion_tpu.models.condition import AudioAdapter, HierarchicalAudioEncoder
+from clap2diffusion_tpu.models.unet import UNet2DCondition
+from clap2diffusion_tpu.models.vae import AutoencoderKL
+from clap2diffusion_tpu.diffusion.ddim import NoiseSchedule, cfg_eps_fn, ddim_sample
+from clap2diffusion_tpu.ops.token_norm import rescale_to_norm
+
+
+@dataclass
+class PipelineModules:
+    clap_audio: ClapAudioTower
+    clip_text: CLIPTextEncoder
+    hierarchical: HierarchicalAudioEncoder
+    adapter: AudioAdapter
+    unet: UNet2DCondition
+    vae: AutoencoderKL
+
+
+def build_modules(cfg: Config) -> PipelineModules:
+    return PipelineModules(
+        clap_audio=ClapAudioTower(cfg=cfg.clap.audio),
+        clip_text=CLIPTextEncoder(cfg=cfg.diffusion.clip_text),
+        hierarchical=HierarchicalAudioEncoder(cfg=cfg.condition),
+        adapter=AudioAdapter(cfg=cfg.condition),
+        unet=UNet2DCondition(cfg=cfg.diffusion.unet),
+        vae=AutoencoderKL(cfg=cfg.diffusion.vae),
+    )
+
+
+def init_params(cfg: Config, seed: int = 0, dtype=jnp.float32) -> Dict[str, Any]:
+    """Random-init all module params (converters/orbax replace them later)."""
+    m = build_modules(cfg)
+    keys = jax.random.split(jax.random.key(seed), 6)
+    frames = cfg.clap.frontend.max_frames  # HTSAT accepts <= spec_width frames
+    lat = cfg.diffusion.image_size // 8
+    params = {
+        "clap_audio": m.clap_audio.init(
+            keys[0], jnp.ones((1, 1001, cfg.clap.frontend.num_mel_bins))
+        )["params"],
+        "clip_text": m.clip_text.init(
+            keys[1], jnp.ones((1, cfg.diffusion.clip_text.max_length), jnp.int32)
+        )["params"],
+        "hierarchical": m.hierarchical.init(
+            keys[2], jnp.ones((1, cfg.condition.clap_dim)), 1.0
+        )["params"],
+        "adapter": m.adapter.init(keys[3], jnp.ones((1, cfg.condition.clap_dim)))[
+            "params"
+        ],
+        "unet": m.unet.init(
+            keys[4],
+            jnp.ones((1, lat, lat, 4)),
+            jnp.ones((1,), jnp.int32),
+            jnp.ones((1, 77, cfg.diffusion.unet.cross_attention_dim)),
+            {lvl: jnp.ones((1, cfg.condition.num_tokens,
+                            cfg.diffusion.unet.cross_attention_dim))
+             for lvl in ("early", "mid", "late")},
+        )["params"],
+        "vae": m.vae.init(
+            keys[5], jnp.ones((1, 64, 64, 3)), jax.random.key(0)
+        )["params"],
+    }
+    if dtype != jnp.float32:
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+    return params
+
+
+class AudioToImagePipeline:
+    """Host-facing pipeline. Heavy math is jit-cached per static signature.
+
+    The reference equivalent is ``AudioToImageInference``
+    (reference scripts/inference.py:21-180) plus the gradio ``generate`` knobs
+    (norm_value, steps, cfg, seed, model_type — reference app/gradio_app.py:52-92).
+    """
+
+    def __init__(self, cfg: Config, params: Optional[Dict] = None, seed: int = 0):
+        self.cfg = cfg
+        self.m = build_modules(cfg)
+        self.params = params if params is not None else init_params(cfg, seed)
+        self.schedule = NoiseSchedule.create(cfg.diffusion.scheduler)
+
+    # -- host-side frontends -------------------------------------------------
+
+    def load_audio(self, path: str) -> np.ndarray:
+        from clap2diffusion_tpu.utils.audio_io import peak_normalize, read_wav
+
+        wav, sr = read_wav(path)
+        wav = peak_normalize(wav)  # (reference scripts/inference.py:73-83)
+        return prepare_waveform(wav, sr, self.cfg.clap.frontend)
+
+    # -- jitted stages -------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def encode_audio(self, waveform: jax.Array) -> jax.Array:
+        """waveform [B, samples] -> normalized CLAP embedding [B, 512]."""
+        mel = log_mel_spectrogram(waveform, self.cfg.clap.frontend)
+        return self.m.clap_audio.apply(
+            {"params": self.params["clap_audio"]}, mel
+        )
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def encode_text(self, input_ids: jax.Array) -> jax.Array:
+        return self.m.clip_text.apply(
+            {"params": self.params["clip_text"]}, input_ids
+        )
+
+    def _condition(self, clap_emb: jax.Array, model_type: str,
+                   norm_target: float, temperature: float):
+        """CLAP [B,512] -> (tokens77, routed audio dict) per model type."""
+        c = self.cfg.condition
+        if model_type == "baseline":
+            return None, None
+        if model_type == "sonic":
+            tokens = self.m.adapter.apply(
+                {"params": self.params["adapter"]}, clap_emb
+            )
+            tokens = rescale_to_norm(tokens, norm_target)
+            return None, {lvl: tokens for lvl in ("early", "mid", "late")}
+        tokens77, info = self.m.hierarchical.apply(
+            {"params": self.params["hierarchical"]}, clap_emb, temperature,
+            return_all=True,
+        )
+        routed = {
+            lvl: rescale_to_norm(t, norm_target)
+            for lvl, t in info["routed"].items()
+        }
+        return rescale_to_norm(tokens77, norm_target), routed
+
+    @functools.partial(
+        jax.jit, static_argnums=(0, 4, 6, 8), static_argnames=("model_type",)
+    )
+    def _generate_jit(
+        self,
+        clap_emb: Optional[jax.Array],
+        text_ids: jax.Array,
+        uncond_ids: jax.Array,
+        num_steps: int,
+        guidance_scale: jax.Array,
+        model_type: str,
+        rng: jax.Array,
+        batch: int,
+        norm_target: jax.Array,
+        temperature: jax.Array,
+    ) -> jax.Array:
+        ehs_cond = self.encode_text_nojit(text_ids)
+        ehs_uncond = self.encode_text_nojit(uncond_ids)
+        _, routed = (
+            (None, None)
+            if clap_emb is None
+            else self._condition(clap_emb, model_type, norm_target, temperature)
+        )
+
+        def unet_apply(lat, t, ctx, audio):
+            return self.m.unet.apply(
+                {"params": self.params["unet"]}, lat, t, ctx, audio
+            )
+
+        eps_fn = cfg_eps_fn(
+            unet_apply, ehs_cond, ehs_uncond, guidance_scale,
+            audio_cond=routed, audio_uncond=routed,
+        )
+        lat_size = self.cfg.diffusion.image_size // 8
+        latents = jax.random.normal(rng, (batch, lat_size, lat_size, 4))
+        latents = ddim_sample(eps_fn, self.schedule, latents, num_steps)
+        img = self.m.vae.apply(
+            {"params": self.params["vae"]}, latents,
+            method=AutoencoderKL.decode_latent,
+        )
+        return jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+    def encode_text_nojit(self, input_ids: jax.Array) -> jax.Array:
+        return self.m.clip_text.apply(
+            {"params": self.params["clip_text"]}, input_ids
+        )
+
+    # -- public API ----------------------------------------------------------
+
+    def generate(
+        self,
+        waveform: Optional[np.ndarray] = None,
+        text_ids: Optional[np.ndarray] = None,
+        uncond_ids: Optional[np.ndarray] = None,
+        *,
+        num_steps: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        norm_target: Optional[float] = None,
+        temperature: float = 0.5,
+        model_type: str = "hierarchical",
+        seed: int = 0,
+        batch: int = 1,
+    ) -> np.ndarray:
+        """Generate images [B, H, W, 3] uint8.
+
+        Defaults mirror the reference CLI: 50 steps, CFG 7.5, Norm-60
+        (reference scripts/inference.py:107-108,32).
+        """
+        sch = self.cfg.diffusion.scheduler
+        num_steps = num_steps or sch.num_inference_steps
+        guidance_scale = (
+            sch.guidance_scale if guidance_scale is None else guidance_scale
+        )
+        norm_target = (
+            self.cfg.condition.audio_norm_target if norm_target is None else norm_target
+        )
+        max_len = self.cfg.diffusion.clip_text.max_length
+        if text_ids is None:
+            text_ids = np.zeros((batch, max_len), np.int32)
+        if uncond_ids is None:
+            uncond_ids = np.zeros((batch, max_len), np.int32)
+
+        clap_emb = None
+        if waveform is not None:
+            wav = jnp.asarray(waveform)
+            if wav.ndim == 1:
+                wav = wav[None]
+            clap_emb = self.encode_audio(wav)
+            if clap_emb.shape[0] == 1 and batch > 1:
+                clap_emb = jnp.broadcast_to(clap_emb, (batch, clap_emb.shape[1]))
+
+        img = self._generate_jit(
+            clap_emb,
+            jnp.asarray(text_ids, jnp.int32),
+            jnp.asarray(uncond_ids, jnp.int32),
+            num_steps,
+            jnp.asarray(guidance_scale, jnp.float32),
+            model_type,
+            jax.random.key(seed),
+            batch,
+            jnp.asarray(norm_target, jnp.float32),
+            jnp.asarray(temperature, jnp.float32),
+        )
+        return np.asarray(img)

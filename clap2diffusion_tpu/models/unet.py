@@ -137,13 +137,14 @@ class Transformer2D(nn.Module):
     channels: int
     num_heads: int
     context_dim: int
+    groups: int = 32
     use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm")(x)
         x = nn.Conv(self.channels, (1, 1), name="proj_in")(x)
         x = x.reshape(b, h * w, c)
         x = BasicTransformerBlock(
@@ -223,12 +224,14 @@ class UNet2DCondition(nn.Module):
             ctx = ctx_by_level[cfg.down_block_levels[i]]
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock(
-                    out_channels=ch, name=f"down_{i}_resnet_{j}"
+                    out_channels=ch, groups=cfg.norm_num_groups,
+                    name=f"down_{i}_resnet_{j}"
                 )(h, temb)
                 if has_attn:
                     h = Transformer2D(
                         channels=ch, num_heads=cfg.num_attention_heads,
                         context_dim=cfg.cross_attention_dim,
+                        groups=cfg.norm_num_groups,
                         use_flash=cfg.flash_attention,
                         name=f"down_{i}_attn_{j}",
                     )(h, ctx)
@@ -239,13 +242,15 @@ class UNet2DCondition(nn.Module):
 
         # Mid
         ctx = ctx_by_level[cfg.mid_block_level]
-        h = ResnetBlock(out_channels=block_ch[-1], name="mid_resnet_0")(h, temb)
+        h = ResnetBlock(out_channels=block_ch[-1], groups=cfg.norm_num_groups,
+                        name="mid_resnet_0")(h, temb)
         h = Transformer2D(
             channels=block_ch[-1], num_heads=cfg.num_attention_heads,
-            context_dim=cfg.cross_attention_dim, use_flash=cfg.flash_attention,
-            name="mid_attn",
+            context_dim=cfg.cross_attention_dim, groups=cfg.norm_num_groups,
+            use_flash=cfg.flash_attention, name="mid_attn",
         )(h, ctx)
-        h = ResnetBlock(out_channels=block_ch[-1], name="mid_resnet_1")(h, temb)
+        h = ResnetBlock(out_channels=block_ch[-1], groups=cfg.norm_num_groups,
+                        name="mid_resnet_1")(h, temb)
 
         # Up path (reversed channels; one extra resnet per block for skips)
         for i, ch in enumerate(reversed(block_ch)):
@@ -255,11 +260,13 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlock(out_channels=ch, name=f"up_{i}_resnet_{j}")(h, temb)
+                h = ResnetBlock(out_channels=ch, groups=cfg.norm_num_groups,
+                                name=f"up_{i}_resnet_{j}")(h, temb)
                 if has_attn:
                     h = Transformer2D(
                         channels=ch, num_heads=cfg.num_attention_heads,
                         context_dim=cfg.cross_attention_dim,
+                        groups=cfg.norm_num_groups,
                         use_flash=cfg.flash_attention,
                         name=f"up_{i}_attn_{j}",
                     )(h, ctx)

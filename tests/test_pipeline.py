@@ -1,0 +1,117 @@
+"""End-to-end pipeline smoke tests at tiny geometry (CPU-friendly):
+audio wav -> CLAP -> hierarchical conditioning -> DDIM+CFG scan -> VAE decode.
+Also checks seed determinism (same seed => bitwise-identical image)."""
+
+import numpy as np
+import pytest
+
+from clap2diffusion_tpu.core.config import (
+    AudioFrontendConfig,
+    CLAPConfig,
+    CLAPTextConfig,
+    CLIPTextConfig,
+    ConditionConfig,
+    Config,
+    DiffusionConfig,
+    HTSATConfig,
+    SchedulerConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
+
+
+def tiny_config() -> Config:
+    return Config(
+        clap=CLAPConfig(
+            frontend=AudioFrontendConfig(num_mel_bins=16, duration_s=0.5),
+            audio=HTSATConfig(
+                spec_size=64,
+                num_mel_bins=16,
+                patch_embed_dim=8,
+                depths=(1, 1),
+                num_heads=(2, 2),
+                window_size=4,
+                hidden_size=16,
+                projection_dim=32,
+            ),
+            text=CLAPTextConfig(vocab_size=100, hidden_size=32, num_layers=1,
+                                num_heads=2, intermediate_size=64,
+                                projection_dim=32),
+            embed_dim=32,
+        ),
+        condition=ConditionConfig(
+            clap_dim=32, token_dim=48, num_tokens=4, num_output_tokens=7,
+            num_adapter_tokens=4, hierarchy_bottleneck=24, hierarchy_heads=2,
+            projector_bottleneck=16, projector_heads=2, projector_layers=1,
+            adapter_kv_hidden=8, adapter_self_attn_layers=1, adapter_heads=2,
+            injection_bottleneck=8,
+        ),
+        diffusion=DiffusionConfig(
+            unet=UNetConfig(
+                block_out_channels=(16, 32, 32, 32), layers_per_block=1,
+                num_attention_heads=2, cross_attention_dim=48,
+                norm_num_groups=8, sample_size=8, flash_attention=False,
+            ),
+            vae=VAEConfig(block_out_channels=(8, 16, 16, 16),
+                          norm_num_groups=4, layers_per_block=1),
+            clip_text=CLIPTextConfig(vocab_size=128, hidden_size=48,
+                                     num_layers=1, num_heads=2,
+                                     intermediate_size=96, max_length=7),
+            scheduler=SchedulerConfig(num_inference_steps=3),
+            image_size=64,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return AudioToImagePipeline(tiny_config(), seed=0)
+
+
+def test_generate_hierarchical(pipe):
+    wav = np.random.default_rng(0).normal(size=24_000).astype(np.float32) * 0.1
+    img = pipe.generate(waveform=wav, num_steps=3, seed=1)
+    assert img.shape == (1, 64, 64, 3)
+    assert img.dtype == np.uint8
+    assert img.std() > 0  # not a constant image
+
+
+def test_generate_modes(pipe):
+    wav = np.random.default_rng(0).normal(size=24_000).astype(np.float32) * 0.1
+    a = pipe.generate(waveform=wav, num_steps=2, seed=3, model_type="hierarchical")
+    b = pipe.generate(waveform=wav, num_steps=2, seed=3, model_type="sonic")
+    c = pipe.generate(waveform=None, num_steps=2, seed=3, model_type="baseline")
+    assert a.shape == b.shape == c.shape
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+    assert np.abs(a.astype(int) - c.astype(int)).max() > 0
+
+
+def test_seed_determinism(pipe):
+    wav = np.random.default_rng(0).normal(size=24_000).astype(np.float32) * 0.1
+    a = pipe.generate(waveform=wav, num_steps=2, seed=42)
+    b = pipe.generate(waveform=wav, num_steps=2, seed=42)
+    np.testing.assert_array_equal(a, b)
+    c = pipe.generate(waveform=wav, num_steps=2, seed=43)
+    assert np.abs(a.astype(int) - c.astype(int)).max() > 0
+
+
+def test_norm_target_knob(pipe):
+    """Norm slider 10..200 (reference app/gradio_app.py:129-132) changes output."""
+    wav = np.random.default_rng(0).normal(size=24_000).astype(np.float32) * 0.1
+    a = pipe.generate(waveform=wav, num_steps=2, seed=5, norm_target=10.0)
+    b = pipe.generate(waveform=wav, num_steps=2, seed=5, norm_target=200.0)
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+
+
+def test_wav_roundtrip(tmp_path, pipe):
+    from clap2diffusion_tpu.utils.audio_io import read_wav, write_wav
+
+    x = (np.sin(np.linspace(0, 880 * np.pi, 24_000)) * 0.7).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    write_wav(p, x, 48_000)
+    y, sr = read_wav(p)
+    assert sr == 48_000
+    np.testing.assert_allclose(x, y, atol=1e-3)
+    wav = pipe.load_audio(p)
+    assert wav.shape == (24_000,)
