@@ -111,6 +111,8 @@ class AudioToImagePipeline:
         self.m = build_modules(cfg)
         self.params = params if params is not None else init_params(cfg, seed)
         self.schedule = NoiseSchedule.create(cfg.diffusion.scheduler)
+        # compute dtype follows the parameters (bf16 params => bf16 MXU path)
+        self.compute_dtype = jax.tree.leaves(self.params["unet"])[0].dtype
 
     # -- host-side frontends -------------------------------------------------
 
@@ -193,7 +195,9 @@ class AudioToImagePipeline:
             audio_cond=routed, audio_uncond=routed,
         )
         lat_size = self.cfg.diffusion.image_size // 8
-        latents = jax.random.normal(rng, (batch, lat_size, lat_size, 4))
+        latents = jax.random.normal(
+            rng, (batch, lat_size, lat_size, 4)
+        ).astype(self.compute_dtype)
         latents = ddim_sample(eps_fn, self.schedule, latents, num_steps)
         img = self.m.vae.apply(
             {"params": self.params["vae"]}, latents,

@@ -46,9 +46,9 @@ def dot_product_attention(
         scale = q.shape[-1] ** -0.5
 
     if use_flash and _flash_eligible(q, k, mask):
-        from clap2diffusion_tpu.ops.flash_attention import flash_attention
+        from clap2diffusion_tpu.ops.flash_attention import flash_attention_wrapper
 
-        return flash_attention(q, k, v, scale=scale)
+        return flash_attention_wrapper(q, k, v, scale=float(scale))
 
     dtype = q.dtype
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale

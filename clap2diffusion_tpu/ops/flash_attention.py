@@ -1,0 +1,119 @@
+"""Pallas TPU flash attention (forward) for the UNet's long self-attention.
+
+The hot attention in this framework is UNet self-attention over 64x64 = 4096
+latent positions (SURVEY.md section 7 "the win is in UNet self-attn @64^2").
+This kernel tiles queries over the grid, keeps K/V resident in VMEM (at SD
+sizes K+V is ~1-3 MB per batch*head — far under the ~16 MB VMEM budget), and
+never materializes the [S, S] probability matrix in HBM: logits, softmax and
+the PV matmul all fuse in VMEM, with fp32 accumulation on the MXU.
+
+Head dims (40/80/160 for SD v1.5) are zero-padded to the 128-lane boundary
+inside the wrapper; padding columns contribute nothing to logits or outputs.
+
+Backward currently runs the XLA einsum path via custom_vjp (numerically
+identical, recompute-based); a Pallas backward kernel is the planned next
+optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+
+
+def _pad_to(x: jax.Array, size: int, axis: int) -> jax.Array:
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # [Bq, Dp]
+    k = k_ref[0]  # [S, Dp]
+    v = v_ref[0]
+    logits = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # [Bq, S]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    dp = int(np.ceil(d / 128) * 128)
+    block_q = min(DEFAULT_BLOCK_Q, sq)
+
+    qm = _pad_to(q.reshape(b * h, sq, d), dp, 2)
+    km = _pad_to(k.reshape(b * h, sk, d), dp, 2)
+    vm = _pad_to(v.reshape(b * h, sk, d), dp, 2)
+
+    grid = (b * h, pl.cdiv(sq, block_q))
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq, dp), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda bh, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, dp), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, dp), lambda bh, i: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda bh, i: (bh, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * sq * sk * dp,
+            bytes_accessed=(b * h * (sq + 2 * sk) * dp) * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(qm, km, vm)
+    return out[:, :, :d].reshape(b, h, sq, d)
+
+
+def _xla_attention(q, k, v, scale):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """Attention over [B, H, S, D] with fp32 softmax, flash forward."""
+    return _flash_fwd(q, k, v, scale)
+
+
+def _vjp_fwd(q, k, v, scale):
+    return _flash_fwd(q, k, v, scale), (q, k, v)
+
+
+def _vjp_bwd(scale, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def flash_attention_wrapper(q, k, v, *, scale: float | None = None):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return flash_attention(q, k, v, float(scale))

@@ -1,0 +1,86 @@
+"""ops tests: flash attention parity vs XLA reference (interpreter mode on
+CPU), mha head plumbing, and gradient correctness of the custom VJP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clap2diffusion_tpu.ops.attention import dot_product_attention, mha
+from clap2diffusion_tpu.ops import flash_attention as fa
+
+
+def _xla_ref(q, k, v, scale):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("d", [40, 64, 128, 160])
+def test_flash_forward_matches_xla_interpret(monkeypatch, d):
+    # run the Pallas kernel in interpreter mode on CPU
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp)
+
+    q = jax.random.normal(jax.random.key(0), (2, 3, 256, d))
+    k = jax.random.normal(jax.random.key(1), (2, 3, 384, d))
+    v = jax.random.normal(jax.random.key(2), (2, 3, 384, d))
+    scale = d**-0.5
+    ours = fa._flash_fwd(q, k, v, scale)
+    ref = _xla_ref(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_vjp_matches_xla_grad(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp)
+
+    q = jax.random.normal(jax.random.key(0), (1, 2, 256, 64))
+    k = jax.random.normal(jax.random.key(1), (1, 2, 256, 64))
+    v = jax.random.normal(jax.random.key(2), (1, 2, 256, 64))
+    scale = 0.125
+
+    g_ours = jax.grad(lambda q: fa.flash_attention(q, k, v, scale).sum())(q)
+    g_ref = jax.grad(lambda q: _xla_ref(q, k, v, scale).sum())(q)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref), atol=2e-5)
+
+
+def test_mha_matches_naive():
+    b, s, h, dh = 2, 16, 4, 8
+    d = h * dh
+    q = jax.random.normal(jax.random.key(0), (b, s, d))
+    k = jax.random.normal(jax.random.key(1), (b, s, d))
+    v = jax.random.normal(jax.random.key(2), (b, s, d))
+    out = mha(q, k, v, h)
+    # naive per-head reference
+    qh = q.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+    ref = _xla_ref(qh, kh, vh, dh**-0.5).transpose(0, 2, 1, 3).reshape(b, s, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_attention_mask():
+    q = jnp.ones((1, 1, 2, 4))
+    k = jnp.ones((1, 1, 3, 4))
+    v = jnp.arange(12, dtype=jnp.float32).reshape(1, 1, 3, 4)
+    mask = jnp.array([[[[True, True, False], [True, True, False]]]])
+    out = dot_product_attention(q, k, v, mask=mask)
+    # masked third token excluded -> average of first two value rows
+    expected = (v[0, 0, 0] + v[0, 0, 1]) / 2
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]), np.asarray(expected),
+                               atol=1e-5)
