@@ -62,35 +62,42 @@ def build_modules(cfg: Config) -> PipelineModules:
 
 
 def init_params(cfg: Config, seed: int = 0, dtype=jnp.float32) -> Dict[str, Any]:
-    """Random-init all module params (converters/orbax replace them later)."""
+    """Random-init all module params (converters/orbax replace them later).
+
+    Each init is jit-compiled: eager flax init dispatches thousands of tiny
+    ops, which is pathological through a remote TPU tunnel.
+    """
     m = build_modules(cfg)
     keys = jax.random.split(jax.random.key(seed), 6)
-    frames = cfg.clap.frontend.max_frames  # HTSAT accepts <= spec_width frames
     lat = cfg.diffusion.image_size // 8
+
+    def jinit(module, *args):
+        return jax.jit(lambda k: module.init(k, *args))
+
     params = {
-        "clap_audio": m.clap_audio.init(
-            keys[0], jnp.ones((1, 1001, cfg.clap.frontend.num_mel_bins))
+        "clap_audio": jinit(
+            m.clap_audio, jnp.ones((1, 1001, cfg.clap.frontend.num_mel_bins))
+        )(keys[0])["params"],
+        "clip_text": jinit(
+            m.clip_text, jnp.ones((1, cfg.diffusion.clip_text.max_length), jnp.int32)
+        )(keys[1])["params"],
+        "hierarchical": jinit(
+            m.hierarchical, jnp.ones((1, cfg.condition.clap_dim)), 1.0
+        )(keys[2])["params"],
+        "adapter": jinit(m.adapter, jnp.ones((1, cfg.condition.clap_dim)))(
+            keys[3]
         )["params"],
-        "clip_text": m.clip_text.init(
-            keys[1], jnp.ones((1, cfg.diffusion.clip_text.max_length), jnp.int32)
-        )["params"],
-        "hierarchical": m.hierarchical.init(
-            keys[2], jnp.ones((1, cfg.condition.clap_dim)), 1.0
-        )["params"],
-        "adapter": m.adapter.init(keys[3], jnp.ones((1, cfg.condition.clap_dim)))[
-            "params"
-        ],
-        "unet": m.unet.init(
-            keys[4],
+        "unet": jinit(
+            m.unet,
             jnp.ones((1, lat, lat, 4)),
             jnp.ones((1,), jnp.int32),
             jnp.ones((1, 77, cfg.diffusion.unet.cross_attention_dim)),
             {lvl: jnp.ones((1, cfg.condition.num_tokens,
                             cfg.diffusion.unet.cross_attention_dim))
              for lvl in ("early", "mid", "late")},
-        )["params"],
-        "vae": m.vae.init(
-            keys[5], jnp.ones((1, 64, 64, 3)), jax.random.key(0)
+        )(keys[4])["params"],
+        "vae": jinit(m.vae, jnp.ones((1, 64, 64, 3)), jax.random.key(0))(
+            keys[5]
         )["params"],
     }
     if dtype != jnp.float32:

@@ -1,0 +1,242 @@
+"""SD-stack conversion tests.
+
+CLIP text: full numeric parity against a randomly initialized transformers
+CLIPTextModel at ViT-L/14 geometry (no downloads). UNet/VAE: structural
+check — converter output must exactly match our init tree (same paths, same
+shapes) when fed a synthetic diffusers-format state dict.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from clap2diffusion_tpu.core.config import CLIPTextConfig, UNetConfig, VAEConfig
+from clap2diffusion_tpu.models.clip_text import CLIPTextEncoder
+from clap2diffusion_tpu.models.convert import (
+    convert_clip_text,
+    convert_sd_unet,
+    convert_sd_vae,
+)
+from clap2diffusion_tpu.models.unet import UNet2DCondition
+from clap2diffusion_tpu.models.vae import AutoencoderKL
+
+
+def test_clip_text_parity_full_geometry():
+    from transformers import CLIPTextConfig as HFCfg, CLIPTextModel
+
+    torch.manual_seed(0)
+    hf = CLIPTextModel(HFCfg()).eval()  # ViT-L/14 text defaults? verify dims
+    # transformers CLIPTextConfig defaults to 512 wide; force ViT-L/14:
+    hf = CLIPTextModel(
+        HFCfg(hidden_size=768, intermediate_size=3072, num_attention_heads=12,
+              num_hidden_layers=12, max_position_embeddings=77,
+              hidden_act="quick_gelu")
+    ).eval()
+    params = convert_clip_text(hf.state_dict())
+
+    ids = np.random.default_rng(0).integers(0, 49_000, size=(2, 77)).astype(np.int64)
+    with torch.no_grad():
+        theirs = hf(input_ids=torch.from_numpy(ids)).last_hidden_state.numpy()
+
+    ours_model = CLIPTextEncoder(cfg=CLIPTextConfig())
+    ours = np.asarray(ours_model.apply({"params": params}, jnp.asarray(ids)))
+    assert ours.shape == theirs.shape == (2, 77, 768)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+def _tree_shapes(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}"
+        if isinstance(v, dict):
+            out.update(_tree_shapes(v, path))
+        else:
+            out[path] = tuple(v.shape)
+    return out
+
+
+def _synth_diffusers_unet_sd(cfg: UNetConfig):
+    """Build a shape-correct synthetic diffusers UNet state dict by
+    instantiating our flax UNet abstractly and inverting the converter's
+    shape conventions is circular; instead enumerate diffusers keys directly."""
+    sd = {}
+
+    def dense(p, i, o, bias=True):
+        sd[p + ".weight"] = torch.zeros(o, i)
+        if bias:
+            sd[p + ".bias"] = torch.zeros(o)
+
+    def conv(p, i, o, k=3):
+        sd[p + ".weight"] = torch.zeros(o, i, k, k)
+        sd[p + ".bias"] = torch.zeros(o)
+
+    def norm(p, c):
+        sd[p + ".weight"] = torch.zeros(c)
+        sd[p + ".bias"] = torch.zeros(c)
+
+    def resnet(p, cin, cout, temb):
+        norm(p + ".norm1", cin)
+        conv(p + ".conv1", cin, cout)
+        dense(p + ".time_emb_proj", temb, cout)
+        norm(p + ".norm2", cout)
+        conv(p + ".conv2", cout, cout)
+        if cin != cout:
+            conv(p + ".conv_shortcut", cin, cout, k=1)
+
+    def tf2d(p, c, ctx):
+        norm(p + ".norm", c)
+        conv(p + ".proj_in", c, c, k=1)
+        conv(p + ".proj_out", c, c, k=1)
+        tb = p + ".transformer_blocks.0"
+        for n in (".norm1", ".norm2", ".norm3"):
+            norm(tb + n, c)
+        for attn, kv in ((".attn1", c), (".attn2", ctx)):
+            dense(tb + attn + ".to_q", c, c, bias=False)
+            dense(tb + attn + ".to_k", kv, c, bias=False)
+            dense(tb + attn + ".to_v", kv, c, bias=False)
+            dense(tb + attn + ".to_out.0", c, c)
+        dense(tb + ".ff.net.0.proj", c, c * 8)
+        dense(tb + ".ff.net.2", c * 4, c)
+
+    ch = cfg.block_out_channels
+    temb = ch[0] * 4
+    ctx = cfg.cross_attention_dim
+    conv("conv_in", cfg.in_channels, ch[0])
+    dense("time_embedding.linear_1", ch[0], temb)
+    dense("time_embedding.linear_2", temb, temb)
+    prev = ch[0]
+    for i, c in enumerate(ch):
+        for j in range(cfg.layers_per_block):
+            resnet(f"down_blocks.{i}.resnets.{j}", prev if j == 0 else c, c, temb)
+            if cfg.cross_attn_blocks[i]:
+                tf2d(f"down_blocks.{i}.attentions.{j}", c, ctx)
+        prev = c
+        if i < len(ch) - 1:
+            conv(f"down_blocks.{i}.downsamplers.0.conv", c, c)
+    resnet("mid_block.resnets.0", ch[-1], ch[-1], temb)
+    tf2d("mid_block.attentions.0", ch[-1], ctx)
+    resnet("mid_block.resnets.1", ch[-1], ch[-1], temb)
+    rev = list(reversed(ch))
+    for i, c in enumerate(rev):
+        attn = cfg.cross_attn_blocks[len(ch) - 1 - i]
+        for j in range(cfg.layers_per_block + 1):
+            # skip-concat input channels
+            skip_ch = _up_skip_channels(ch, i, j, cfg.layers_per_block)
+            resnet(f"up_blocks.{i}.resnets.{j}", skip_ch, c, temb)
+            if attn:
+                tf2d(f"up_blocks.{i}.attentions.{j}", c, ctx)
+        if i < len(ch) - 1:
+            conv(f"up_blocks.{i}.upsamplers.0.conv", c, c)
+    norm("conv_norm_out", ch[0])
+    conv("conv_out", ch[0], cfg.out_channels)
+    return sd
+
+
+def _up_skip_channels(ch, i, j, layers):
+    """Input channels of up-block resnet (h concat skip), mirroring the
+    skip-stack order of the forward pass."""
+    # reconstruct the skip stack
+    skips = [ch[0]]
+    for bi, c in enumerate(ch):
+        for _ in range(layers):
+            skips.append(c)
+        if bi < len(ch) - 1:
+            skips.append(c)
+    rev = list(reversed(ch))
+    h = ch[-1]
+    for ui in range(len(ch)):
+        for uj in range(layers + 1):
+            skip = skips.pop()
+            cin = h + skip
+            h = rev[ui]
+            if ui == i and uj == j:
+                return cin
+    raise AssertionError
+
+
+def test_unet_converter_structural_match():
+    cfg = UNetConfig(
+        block_out_channels=(32, 64, 64, 64), layers_per_block=2,
+        num_attention_heads=4, cross_attention_dim=64, norm_num_groups=8,
+        audio_inject=False, flash_attention=False,
+    )
+    sd = _synth_diffusers_unet_sd(cfg)
+    converted = convert_sd_unet(sd, cfg)
+    model = UNet2DCondition(cfg=cfg)
+    ref = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.ones((1, 16, 16, 4)),
+        jnp.ones((1,), jnp.int32), jnp.ones((1, 7, 64)),
+    )["params"]
+    assert _tree_shapes(converted) == _tree_shapes(ref)
+
+
+def test_vae_converter_structural_match():
+    cfg = VAEConfig(block_out_channels=(8, 16, 16, 16), norm_num_groups=4,
+                    layers_per_block=2)
+    sd = {}
+
+    def dense(p, i, o):
+        sd[p + ".weight"] = torch.zeros(o, i)
+        sd[p + ".bias"] = torch.zeros(o)
+
+    def conv(p, i, o, k=3):
+        sd[p + ".weight"] = torch.zeros(o, i, k, k)
+        sd[p + ".bias"] = torch.zeros(o)
+
+    def norm(p, c):
+        sd[p + ".weight"] = torch.zeros(c)
+        sd[p + ".bias"] = torch.zeros(c)
+
+    def resnet(p, cin, cout):
+        norm(p + ".norm1", cin)
+        conv(p + ".conv1", cin, cout)
+        norm(p + ".norm2", cout)
+        conv(p + ".conv2", cout, cout)
+        if cin != cout:
+            conv(p + ".conv_shortcut", cin, cout, k=1)
+
+    def attn(p, c):
+        norm(p + ".group_norm", c)
+        for n in (".to_q", ".to_k", ".to_v", ".to_out.0"):
+            dense(p + n, c, c)
+
+    ch = cfg.block_out_channels
+    conv("encoder.conv_in", 3, ch[0])
+    prev = ch[0]
+    for i, c in enumerate(ch):
+        for j in range(cfg.layers_per_block):
+            resnet(f"encoder.down_blocks.{i}.resnets.{j}", prev if j == 0 else c, c)
+        prev = c
+        if i < len(ch) - 1:
+            conv(f"encoder.down_blocks.{i}.downsamplers.0.conv", c, c)
+    resnet("encoder.mid_block.resnets.0", ch[-1], ch[-1])
+    attn("encoder.mid_block.attentions.0", ch[-1])
+    resnet("encoder.mid_block.resnets.1", ch[-1], ch[-1])
+    norm("encoder.conv_norm_out", ch[-1])
+    conv("encoder.conv_out", ch[-1], 8)
+    conv("decoder.conv_in", 4, ch[-1])
+    resnet("decoder.mid_block.resnets.0", ch[-1], ch[-1])
+    attn("decoder.mid_block.attentions.0", ch[-1])
+    resnet("decoder.mid_block.resnets.1", ch[-1], ch[-1])
+    rev = list(reversed(ch))
+    prev = ch[-1]
+    for i, c in enumerate(rev):
+        for j in range(cfg.layers_per_block + 1):
+            resnet(f"decoder.up_blocks.{i}.resnets.{j}", prev if j == 0 else c, c)
+        prev = c
+        if i < len(ch) - 1:
+            conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", c, c)
+    norm("decoder.conv_norm_out", ch[0])
+    conv("decoder.conv_out", ch[0], 3)
+    conv("quant_conv", 8, 8, k=1)
+    conv("post_quant_conv", 4, 4, k=1)
+
+    converted = convert_sd_vae(sd, cfg)
+    model = AutoencoderKL(cfg=cfg)
+    ref = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.ones((1, 32, 32, 3)), jax.random.key(1)
+    )["params"]
+    assert _tree_shapes(converted) == _tree_shapes(ref)
