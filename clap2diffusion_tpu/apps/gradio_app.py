@@ -1,0 +1,92 @@
+"""Gradio UI: audio upload + prompt -> image, with the reference's knobs.
+
+Same controls as the reference app (reference app/gradio_app.py:113-132):
+model dropdown (Hierarchical / SonicDiffusion / Baseline), norm slider
+10-200 default 60, steps 20-100, CFG 1-20, seed; env-var auth + host/port
+(reference :176-187). gradio isn't in this image — the import is gated and
+the module degrades to a clear error message.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from clap2diffusion_tpu.core.config import Config
+
+_MODEL_TYPES = {
+    "Hierarchical V4": "hierarchical",
+    "SonicDiffusion": "sonic",
+    "Baseline": "baseline",
+}
+
+
+def build_generator(cfg: Config):
+    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
+    from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
+
+    pipe = AudioToImagePipeline(cfg)
+    tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
+
+    def generate(audio_path, prompt, model_name, norm_value, steps, cfg_scale, seed):
+        wav = pipe.load_audio(audio_path) if audio_path else None
+        text_ids = tok(prompt or "")
+        img = pipe.generate(
+            waveform=wav,
+            text_ids=text_ids,
+            uncond_ids=tok(""),
+            num_steps=int(steps),
+            guidance_scale=float(cfg_scale),
+            norm_target=float(norm_value),
+            model_type=_MODEL_TYPES.get(model_name, "hierarchical"),
+            seed=int(seed),
+        )[0]
+        info = (
+            f"model={model_name} steps={int(steps)} cfg={cfg_scale} "
+            f"norm={norm_value} seed={int(seed)}"
+        )
+        return np.asarray(img), info
+
+    return generate
+
+
+def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860):
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise SystemExit(
+            "gradio is not installed in this environment; use the CLI instead:\n"
+            "  python -m clap2diffusion_tpu.apps.main infer --audio x.wav --text '...'"
+        ) from e
+
+    cfg = cfg or Config()
+    generate = build_generator(cfg)
+
+    with gr.Blocks(title="CLAP2Diffusion-TPU") as demo:
+        gr.Markdown("# CLAP2Diffusion-TPU: audio + text -> image")
+        with gr.Row():
+            with gr.Column():
+                audio = gr.Audio(type="filepath", label="Audio (.wav)")
+                prompt = gr.Textbox(label="Text prompt")
+                model = gr.Dropdown(
+                    list(_MODEL_TYPES), value="Hierarchical V4", label="Model"
+                )
+                norm = gr.Slider(10, 200, value=60, label="Audio norm target")
+                steps = gr.Slider(20, 100, value=50, step=1, label="DDIM steps")
+                cfg_s = gr.Slider(1.0, 20.0, value=7.5, label="CFG scale")
+                seed = gr.Number(value=42, precision=0, label="Seed")
+                btn = gr.Button("Generate")
+            with gr.Column():
+                image = gr.Image(label="Generated image")
+                info = gr.Textbox(label="Generation info")
+        btn.click(
+            generate, [audio, prompt, model, norm, steps, cfg_s, seed], [image, info]
+        )
+
+    auth = None
+    user, pw = os.environ.get("GRADIO_USERNAME"), os.environ.get("GRADIO_PASSWORD")
+    if user and pw:
+        auth = (user, pw)
+    demo.launch(server_name=host, server_port=port, auth=auth)

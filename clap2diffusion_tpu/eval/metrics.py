@@ -1,0 +1,90 @@
+"""Evaluation metrics.
+
+The reference's evaluator returns random numbers for every metric
+(reference scripts/evaluate.py:32-40). Here the metric *math* is real:
+
+- ``audio_text_alignment``: cosine similarity of CLAP audio/text embeddings —
+  fully real with our towers (reference models/audio_encoder.py:287-309).
+- ``frechet_distance``: exact Frechet/FID math over any feature set; the
+  feature extractor is pluggable (InceptionV3 weights are not available in
+  this offline image, so FID-vs-reference uses whatever embedding net is
+  supplied — CLAP/CLIP features by default).
+- ``clip_score``: cosine between image features and text features for a
+  supplied image encoder (the CLIP vision tower converts via
+  models/convert.py conventions when weights are present).
+- ``inception_score``: standard IS math over pluggable class probabilities.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+
+def audio_text_alignment(audio_emb: np.ndarray, text_emb: np.ndarray) -> float:
+    """Mean cosine similarity between L2-normalized CLAP embeddings."""
+    a = audio_emb / (np.linalg.norm(audio_emb, axis=-1, keepdims=True) + 1e-8)
+    t = text_emb / (np.linalg.norm(text_emb, axis=-1, keepdims=True) + 1e-8)
+    return float((a * t).sum(-1).mean())
+
+
+def clip_score(image_features: np.ndarray, text_features: np.ndarray,
+               scale: float = 100.0) -> float:
+    """max(0, 100 * cos(image, text)), batch mean (standard CLIPScore)."""
+    i = image_features / (np.linalg.norm(image_features, axis=-1, keepdims=True) + 1e-8)
+    t = text_features / (np.linalg.norm(text_features, axis=-1, keepdims=True) + 1e-8)
+    return float(np.maximum((i * t).sum(-1) * scale, 0.0).mean())
+
+
+def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray, eps: float = 1e-6) -> float:
+    """Frechet distance between Gaussians fit to two feature sets [N, D].
+
+    ||mu_a - mu_b||^2 + Tr(Ca + Cb - 2 (Ca Cb)^(1/2)); the matrix sqrt is
+    computed via eigendecomposition of the symmetrized product.
+    """
+    mu_a, mu_b = feats_a.mean(0), feats_b.mean(0)
+    ca = np.cov(feats_a, rowvar=False) + eps * np.eye(feats_a.shape[1])
+    cb = np.cov(feats_b, rowvar=False) + eps * np.eye(feats_b.shape[1])
+    diff = mu_a - mu_b
+
+    # sqrt(Ca Cb) via sqrt(Ca) Cb sqrt(Ca) (symmetric PSD path)
+    wa, va = np.linalg.eigh(ca)
+    sqrt_ca = (va * np.sqrt(np.maximum(wa, 0))) @ va.T
+    m = sqrt_ca @ cb @ sqrt_ca
+    wm = np.linalg.eigvalsh((m + m.T) / 2)
+    tr_sqrt = np.sqrt(np.maximum(wm, 0)).sum()
+    return float(diff @ diff + np.trace(ca) + np.trace(cb) - 2 * tr_sqrt)
+
+
+def inception_score(probs: np.ndarray, splits: int = 10) -> Dict[str, float]:
+    """IS over class probabilities [N, C]: exp(E KL(p(y|x) || p(y)))."""
+    n = probs.shape[0]
+    scores = []
+    for part in np.array_split(probs, min(splits, n)):
+        py = part.mean(0, keepdims=True)
+        kl = (part * (np.log(part + 1e-10) - np.log(py + 1e-10))).sum(-1)
+        scores.append(float(np.exp(kl.mean())))
+    return {"mean": float(np.mean(scores)), "std": float(np.std(scores))}
+
+
+def image_stats(images: np.ndarray) -> Dict[str, float]:
+    """Cheap sanity metrics over uint8 images [N, H, W, 3]."""
+    x = images.astype(np.float32) / 255.0
+    return {
+        "mean": float(x.mean()),
+        "std": float(x.std()),
+        "inter_image_l2": float(
+            np.linalg.norm(x.reshape(len(x), -1) - x.reshape(len(x), -1).mean(0), axis=1).mean()
+        ),
+    }
+
+
+def summarize(per_sample: Dict[str, list]) -> Dict[str, Dict[str, float]]:
+    """mean +/- std summary, mirroring the reference's results JSON
+    (reference scripts/evaluate.py:117-131)."""
+    out = {}
+    for k, vals in per_sample.items():
+        arr = np.asarray(vals, np.float64)
+        out[k] = {"mean": float(arr.mean()), "std": float(arr.std())}
+    return out

@@ -1,0 +1,156 @@
+"""Host-side training driver: data -> frozen-encoder embedding precompute ->
+jitted stage steps -> logging/checkpoints.
+
+The loop the reference's trainers gesture at but stub (reference
+scripts/train_stage1.py:98-99 "placeholder", train_stage3.py:315-324
+"simulated"), made real: batches stream from the latent dataset through the
+prefetch loader; CLAP audio embeddings and CLIP text contexts are computed
+on-device with the frozen towers (jitted once); the stage update runs as a
+single jit-compiled step with batches sharded over the mesh's data axis.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clap2diffusion_tpu.core.config import Config
+from clap2diffusion_tpu.data.latent_dataset import AudioCapsLatentDataset, PrefetchLoader
+from clap2diffusion_tpu.models.clap.frontend import log_mel_spectrogram
+from clap2diffusion_tpu.models.clap.htsat import ClapAudioTower
+from clap2diffusion_tpu.models.clip_text import CLIPTextEncoder
+from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
+from clap2diffusion_tpu.parallel.sharding import make_train_mesh, shard_batch
+from clap2diffusion_tpu.train.checkpoint import save_checkpoint
+from clap2diffusion_tpu.train.stages import (
+    TrainState,
+    make_stage1_step,
+    make_stage2_step,
+    make_stage3_step,
+)
+from clap2diffusion_tpu.utils.logging import MetricLogger
+
+
+class EmbeddingFrontend:
+    """Frozen CLAP-audio + CLIP-text encoders, jitted once, batch-applied."""
+
+    def __init__(self, cfg: Config, params: Dict):
+        self.cfg = cfg
+        clap = ClapAudioTower(cfg=cfg.clap.audio)
+        clip = CLIPTextEncoder(cfg=cfg.diffusion.clip_text)
+        self.tokenizer = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
+        clap_params = params["clap_audio"]
+        clip_params = params["clip_text"]
+
+        @jax.jit
+        def encode_audio(wav):
+            mel = log_mel_spectrogram(wav, cfg.clap.frontend)
+            return clap.apply({"params": clap_params}, mel)
+
+        @jax.jit
+        def encode_text(ids):
+            ctx = clip.apply({"params": clip_params}, ids)
+            return ctx, ctx.mean(axis=1)
+
+        self.encode_audio = encode_audio
+        self.encode_text = encode_text
+
+    def embed_batch(self, batch: Dict) -> Dict:
+        clap = self.encode_audio(jnp.asarray(batch["audio"]))
+        ids = self.tokenizer(batch["caption"])
+        text_ctx, text_emb = self.encode_text(jnp.asarray(ids))
+        return {
+            "clap": clap,
+            "latent": jnp.asarray(batch["latent"]),
+            "text_ctx": text_ctx,
+            "text_emb": text_emb,
+        }
+
+
+def run_stage(
+    cfg: Config,
+    stage: int,
+    params: Dict,
+    data_root: Optional[str] = None,
+    max_steps: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    log_dir: Optional[str] = None,
+    seed: Optional[int] = None,
+) -> TrainState:
+    """Run one training stage end-to-end; returns the final TrainState."""
+    seed = cfg.train.seed if seed is None else seed
+    data_root = data_root or cfg.data.data_root
+    scfg = getattr(cfg.train, f"stage{stage}")
+    steps = max_steps if max_steps is not None else scfg.steps
+
+    if stage == 1:
+        step_fn, init_tx, _ = make_stage1_step(cfg)
+        stage_params = params["adapter"]
+        keys = ("clap", "text_emb")
+    elif stage == 2:
+        step_fn, init_tx, _ = make_stage2_step(cfg)
+        stage_params = {"hierarchical": params["hierarchical"], "unet": params["unet"]}
+        keys = ("clap", "latent", "text_ctx")
+    elif stage == 3:
+        step_fn, init_tx, _ = make_stage3_step(cfg)
+        stage_params = {
+            "hierarchical": params["hierarchical"],
+            "adapter": params["adapter"],
+            "unet": params["unet"],
+        }
+        keys = ("clap", "latent", "text_ctx", "text_emb")
+    else:
+        raise ValueError(f"unknown stage {stage}")
+
+    mesh = make_train_mesh()
+    tx = init_tx(stage_params)
+    state = TrainState.create(stage_params, tx, use_ema=scfg.use_ema)
+    frontend = EmbeddingFrontend(cfg, params)
+
+    dataset = AudioCapsLatentDataset(
+        data_root,
+        split="train",
+        audio_duration=cfg.data.duration_s,
+        sample_rate=cfg.data.sample_rate,
+        composition_strategy=cfg.data.pairing,
+        seed=cfg.data.seed,
+        latent_hw=cfg.data.latent_shape[1],
+    )
+    loader = PrefetchLoader(
+        dataset, batch_size=scfg.batch_size, seed=seed, prefetch=cfg.data.prefetch
+    )
+    logger = MetricLogger(log_dir or cfg.train.log_dir, run_name=f"stage{stage}")
+    jstep = jax.jit(lambda s, b, r: step_fn(s, b, r, tx))
+    rng = jax.random.key(seed)
+
+    done = 0
+    epoch = 0
+    t0 = time.time()
+    while done < steps:
+        for batch in loader.epoch(epoch):
+            emb = frontend.embed_batch(batch)
+            emb = {k: emb[k] for k in keys}
+            emb = shard_batch(emb, mesh)
+            rng, sub = jax.random.split(rng)
+            state, metrics = jstep(state, emb, sub)
+            done += 1
+            if done % scfg.log_every == 0 or done == 1:
+                scalars = {
+                    k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
+                }
+                scalars["steps_per_s"] = done / (time.time() - t0)
+                logger.log(done, scalars)
+            if checkpoint_dir and done % scfg.save_every == 0:
+                save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_step{done}")
+            if done >= steps:
+                break
+        epoch += 1
+    if checkpoint_dir:
+        save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_final")
+    logger.close()
+    return state

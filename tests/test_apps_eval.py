@@ -1,0 +1,113 @@
+"""Tokenizer, metrics, logging, and CLI smoke tests (tiny config)."""
+
+import json
+import numpy as np
+import pytest
+
+from clap2diffusion_tpu.eval import metrics as M
+from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer, EOT, SOT
+
+
+def test_tokenizer_fallback_shape_and_determinism():
+    tok = CLIPTokenizer()
+    ids = tok(["a dog barks", "rain falls softly on the roof"])
+    assert ids.shape == (2, 77) and ids.dtype == np.int32
+    assert ids[0, 0] == SOT
+    assert (ids[:, -1] == EOT).all()
+    np.testing.assert_array_equal(ids, tok(["a dog barks", "rain falls softly on the roof"]))
+    # distinct prompts -> distinct ids
+    assert (tok("a dog barks") != tok("a cat meows")).any()
+    # whitespace / case normalization
+    np.testing.assert_array_equal(tok("A  Dog   Barks"), tok("a dog barks"))
+
+
+def test_frechet_distance_properties():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(500, 8))
+    b = rng.normal(size=(500, 8))
+    same = M.frechet_distance(a, a)
+    near = M.frechet_distance(a, b)
+    far = M.frechet_distance(a, b + 5.0)
+    assert same == pytest.approx(0.0, abs=1e-6)
+    assert near < 1.0
+    assert far > near and far == pytest.approx(8 * 25, rel=0.2)
+
+
+def test_inception_score_uniform_vs_peaked():
+    n, c = 100, 10
+    uniform = np.full((n, c), 1.0 / c)
+    assert M.inception_score(uniform)["mean"] == pytest.approx(1.0, abs=1e-5)
+    peaked = np.eye(c)[np.arange(n) % c] * 0.99 + 0.001
+    peaked /= peaked.sum(-1, keepdims=True)
+    assert M.inception_score(peaked)["mean"] > 5.0
+
+
+def test_alignment_and_clip_score():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(16, 32))
+    assert M.audio_text_alignment(x, x) == pytest.approx(1.0, abs=1e-5)
+    assert M.clip_score(x, x) == pytest.approx(100.0, abs=1e-3)
+    assert abs(M.audio_text_alignment(x, rng.normal(size=(16, 32)))) < 0.5
+
+
+def test_metric_logger(tmp_path):
+    from clap2diffusion_tpu.utils.logging import MetricLogger
+
+    lg = MetricLogger(str(tmp_path), run_name="t")
+    lg.log(1, {"loss": 1.5})
+    lg.log(2, {"loss": 1.2})
+    lg.close()
+    lines = [json.loads(l) for l in open(tmp_path / "t.jsonl")]
+    assert lines[0]["step"] == 1 and lines[1]["loss"] == 1.2
+
+
+def test_cli_prepare_fixture(tmp_path):
+    from clap2diffusion_tpu.apps.main import main
+
+    out = str(tmp_path / "ds")
+    rc = main(["prepare", "--create-sample", "--out", out,
+               "--n-train", "2", "--n-val", "1", "--n-test", "1"])
+    assert rc == 0
+    meta = json.loads((tmp_path / "ds" / "metadata_unified.json").read_text())
+    assert len(meta["samples"]) == 4
+
+
+def test_cli_infer_tiny(tmp_path, monkeypatch):
+    """Full CLI infer path on the tiny config via YAML."""
+    import yaml
+
+    from clap2diffusion_tpu.apps.main import main
+    from clap2diffusion_tpu.core.config import to_dict
+    from tests.test_pipeline import tiny_config
+    from clap2diffusion_tpu.utils.audio_io import write_wav
+
+    cfg_path = tmp_path / "tiny.yaml"
+    # json round-trip turns tuples into lists for YAML serialization
+    cfg_path.write_text(yaml.safe_dump(json.loads(json.dumps(to_dict(tiny_config())))))
+    wav_path = tmp_path / "in.wav"
+    write_wav(str(wav_path), np.sin(np.linspace(0, 440 * np.pi, 24_000)).astype(np.float32) * 0.5, 48_000)
+    out = tmp_path / "img.png"
+    rc = main([
+        "infer", "--audio", str(wav_path), "--text", "a dog barks",
+        "--output", str(out), "--steps", "2", "--config", str(cfg_path),
+    ])
+    assert rc == 0 and out.exists()
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape == (64, 64, 3)
+
+
+def test_run_evaluation_tiny(tmp_path):
+    from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
+    from clap2diffusion_tpu.eval.evaluate import run_evaluation
+    from tests.test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    root = str(tmp_path / "ds")
+    make_fixture_dataset(root, n_train=1, n_val=1, n_test=2, duration_s=0.5,
+                         latent_hw=8)
+    res = run_evaluation(cfg, data_root=root, max_samples=2, num_steps=2, seed=42)
+    assert res["config"]["n"] == 2
+    assert "latency_s" in res["summary"]
+    assert len(res["samples"]) == 2
