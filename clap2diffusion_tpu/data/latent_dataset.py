@@ -104,20 +104,16 @@ class AudioCapsLatentDataset:
         return len(self.pairs)
 
     def _load_audio(self, sample_id: str) -> np.ndarray:
-        try:
-            wav, sr = read_wav(str(self.audio_dir / f"{sample_id}.wav"))
-            if wav.ndim == 2:
-                wav = wav.mean(axis=0)
-            if sr != self.sample_rate:
-                from clap2diffusion_tpu.utils.audio_io import resample_poly
+        # Native C++ loader (threaded decode+resample) when built; the
+        # pure-numpy path otherwise. Both zero-fallback on errors
+        # (reference dataset_latent.py:160-162).
+        from clap2diffusion_tpu.utils.native_audio import load_audio
 
-                wav = resample_poly(wav, sr, self.sample_rate)
-            if len(wav) < self.target_length:
-                wav = np.pad(wav, (0, self.target_length - len(wav)))
-            return wav[: self.target_length].astype(np.float32)
-        except Exception:
-            # zero fallback (reference dataset_latent.py:160-162)
-            return np.zeros(self.target_length, np.float32)
+        return load_audio(
+            str(self.audio_dir / f"{sample_id}.wav"),
+            self.sample_rate,
+            self.target_length,
+        )
 
     def _load_latent(self, sample_id: str) -> np.ndarray:
         path = self._latent_path(sample_id)

@@ -131,35 +131,38 @@ class AudioToImagePipeline:
         return prepare_waveform(wav, sr, self.cfg.clap.frontend)
 
     # -- jitted stages -------------------------------------------------------
+    # NOTE: params are explicit jit arguments everywhere. Closing over
+    # ``self.params`` would capture gigabytes of weights as compile-time
+    # constants (XLA then folds them into the program — pathological compile
+    # times and duplicated HBM).
 
     @functools.partial(jax.jit, static_argnums=0)
+    def _encode_audio_impl(self, clap_params, waveform: jax.Array) -> jax.Array:
+        mel = log_mel_spectrogram(waveform, self.cfg.clap.frontend)
+        return self.m.clap_audio.apply({"params": clap_params}, mel)
+
     def encode_audio(self, waveform: jax.Array) -> jax.Array:
         """waveform [B, samples] -> normalized CLAP embedding [B, 512]."""
-        mel = log_mel_spectrogram(waveform, self.cfg.clap.frontend)
-        return self.m.clap_audio.apply(
-            {"params": self.params["clap_audio"]}, mel
-        )
+        return self._encode_audio_impl(self.params["clap_audio"], waveform)
 
     @functools.partial(jax.jit, static_argnums=0)
-    def encode_text(self, input_ids: jax.Array) -> jax.Array:
-        return self.m.clip_text.apply(
-            {"params": self.params["clip_text"]}, input_ids
-        )
+    def _encode_text_impl(self, clip_params, input_ids: jax.Array) -> jax.Array:
+        return self.m.clip_text.apply({"params": clip_params}, input_ids)
 
-    def _condition(self, clap_emb: jax.Array, model_type: str,
+    def encode_text(self, input_ids: jax.Array) -> jax.Array:
+        return self._encode_text_impl(self.params["clip_text"], input_ids)
+
+    def _condition(self, params, clap_emb: jax.Array, model_type: str,
                    norm_target: float, temperature: float):
         """CLAP [B,512] -> (tokens77, routed audio dict) per model type."""
-        c = self.cfg.condition
         if model_type == "baseline":
             return None, None
         if model_type == "sonic":
-            tokens = self.m.adapter.apply(
-                {"params": self.params["adapter"]}, clap_emb
-            )
+            tokens = self.m.adapter.apply({"params": params["adapter"]}, clap_emb)
             tokens = rescale_to_norm(tokens, norm_target)
             return None, {lvl: tokens for lvl in ("early", "mid", "late")}
         tokens77, info = self.m.hierarchical.apply(
-            {"params": self.params["hierarchical"]}, clap_emb, temperature,
+            {"params": params["hierarchical"]}, clap_emb, temperature,
             return_all=True,
         )
         routed = {
@@ -168,11 +171,10 @@ class AudioToImagePipeline:
         }
         return rescale_to_norm(tokens77, norm_target), routed
 
-    @functools.partial(
-        jax.jit, static_argnums=(0, 4, 6, 8), static_argnames=("model_type",)
-    )
+    @functools.partial(jax.jit, static_argnums=(0, 5, 7, 9))
     def _generate_jit(
         self,
+        params,
         clap_emb: Optional[jax.Array],
         text_ids: jax.Array,
         uncond_ids: jax.Array,
@@ -184,18 +186,19 @@ class AudioToImagePipeline:
         norm_target: jax.Array,
         temperature: jax.Array,
     ) -> jax.Array:
-        ehs_cond = self.encode_text_nojit(text_ids)
-        ehs_uncond = self.encode_text_nojit(uncond_ids)
+        ehs_cond = self.m.clip_text.apply({"params": params["clip_text"]}, text_ids)
+        ehs_uncond = self.m.clip_text.apply(
+            {"params": params["clip_text"]}, uncond_ids
+        )
         _, routed = (
             (None, None)
             if clap_emb is None
-            else self._condition(clap_emb, model_type, norm_target, temperature)
+            else self._condition(params, clap_emb, model_type, norm_target,
+                                 temperature)
         )
 
         def unet_apply(lat, t, ctx, audio):
-            return self.m.unet.apply(
-                {"params": self.params["unet"]}, lat, t, ctx, audio
-            )
+            return self.m.unet.apply({"params": params["unet"]}, lat, t, ctx, audio)
 
         eps_fn = cfg_eps_fn(
             unet_apply, ehs_cond, ehs_uncond, guidance_scale,
@@ -207,15 +210,10 @@ class AudioToImagePipeline:
         ).astype(self.compute_dtype)
         latents = ddim_sample(eps_fn, self.schedule, latents, num_steps)
         img = self.m.vae.apply(
-            {"params": self.params["vae"]}, latents,
+            {"params": params["vae"]}, latents,
             method=AutoencoderKL.decode_latent,
         )
         return jnp.clip((img + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
-
-    def encode_text_nojit(self, input_ids: jax.Array) -> jax.Array:
-        return self.m.clip_text.apply(
-            {"params": self.params["clip_text"]}, input_ids
-        )
 
     # -- public API ----------------------------------------------------------
 
@@ -262,6 +260,7 @@ class AudioToImagePipeline:
                 clap_emb = jnp.broadcast_to(clap_emb, (batch, clap_emb.shape[1]))
 
         img = self._generate_jit(
+            self.params,
             clap_emb,
             jnp.asarray(text_ids, jnp.int32),
             jnp.asarray(uncond_ids, jnp.int32),

@@ -86,10 +86,12 @@ def write_wav(path: str, x: np.ndarray, sr: int) -> None:
 
 
 def _kaiser_sinc_filter(num_zeros: int, per_phase: int, cutoff: float, beta: float = 8.555) -> np.ndarray:
+    """Lowpass prototype sampled at integer positions of the upsampled grid
+    (scipy resample_poly convention): h[n] = fc*sinc(fc*n), kaiser-windowed,
+    with fc normalized so the passband edge sits at min(pi/up, pi/down)."""
     half = num_zeros * per_phase
     n = np.arange(-half, half + 1, dtype=np.float64)
-    t = n / per_phase
-    h = cutoff * np.sinc(cutoff * t)
+    h = cutoff * np.sinc(cutoff * n)
     h *= np.kaiser(len(h), beta)
     return h
 
