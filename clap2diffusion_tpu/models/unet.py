@@ -33,6 +33,7 @@ from flax import linen as nn
 from clap2diffusion_tpu.core.config import UNetConfig
 from clap2diffusion_tpu.models.condition.inject import AudioInjection
 from clap2diffusion_tpu.ops.attention import mha
+from clap2diffusion_tpu.ops.groupnorm import GroupNormSiLU
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10_000.0) -> jax.Array:
@@ -65,13 +66,11 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(groups=self.groups, epsilon=1e-5, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
         t = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(groups=self.groups, epsilon=1e-5, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut")(x)
@@ -273,7 +272,6 @@ class UNet2DCondition(nn.Module):
             if i < len(block_ch) - 1:
                 h = Upsample(channels=ch, name=f"up_{i}_upsample")(h)
 
-        h = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
-                         name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(groups=cfg.norm_num_groups, epsilon=1e-5,
+                          name="conv_norm_out")(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out")(h)

@@ -20,6 +20,7 @@ from flax import linen as nn
 
 from clap2diffusion_tpu.core.config import VAEConfig
 from clap2diffusion_tpu.ops.attention import mha
+from clap2diffusion_tpu.ops.groupnorm import GroupNormSiLU
 
 
 class VAEResnetBlock(nn.Module):
@@ -29,11 +30,9 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNormSiLU(groups=self.groups, epsilon=1e-6, name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(groups=self.groups, epsilon=1e-6, name="norm2")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut")(x)
@@ -90,8 +89,7 @@ class VAEEncoder(nn.Module):
                 h = nn.Conv(c, (3, 3), strides=2, padding="VALID",
                             name=f"down_{i}_downsample")(h)
         h = VAEMidBlock(channels=ch[-1], groups=g, name="mid")(h)
-        h = nn.GroupNorm(num_groups=g, epsilon=1e-6, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(groups=g, epsilon=1e-6, name="conv_norm_out")(h)
         return nn.Conv(2 * self.cfg.latent_channels, (3, 3), padding=1,
                        name="conv_out")(h)
 
@@ -112,8 +110,7 @@ class VAEDecoder(nn.Module):
                 b, hh, ww, cc = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), method="nearest")
                 h = nn.Conv(c, (3, 3), padding=1, name=f"up_{i}_upsample")(h)
-        h = nn.GroupNorm(num_groups=g, epsilon=1e-6, name="conv_norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNormSiLU(groups=g, epsilon=1e-6, name="conv_norm_out")(h)
         return nn.Conv(self.cfg.out_channels, (3, 3), padding=1, name="conv_out")(h)
 
 

@@ -1,0 +1,142 @@
+"""Fused GroupNorm + SiLU Pallas kernel.
+
+Every UNet/VAE resnet block starts with GroupNorm -> SiLU (-> conv); fusing
+norm+activation into one VMEM pass removes two HBM round-trips per block —
+SD v1.5 has ~60 such blocks per UNet step, x100 UNet calls per 50-step CFG
+image (SURVEY.md section 7: "fused GroupNorm+conv(+SiLU)").
+
+Kernel strategy: grid over batch; the [H*W, C] slab lives in VMEM; per-group
+statistics are computed channel-wise (a [C] sum over the spatial axis, then a
+tiny per-group combine), so reductions stay on the natural TPU layout
+instead of a badly-tiled [HW, G, C/G] reshape. Slabs bigger than the VMEM
+budget fall back to the XLA implementation (VAE's 512x512 layers), which XLA
+fuses adequately at that arithmetic intensity.
+
+Forward-only fusion: under autodiff the custom_vjp recomputes with the XLA
+path (numerically identical).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VMEM_BUDGET_BYTES = 6 * 1024 * 1024
+
+
+def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: float):
+    x = x_ref[0].astype(jnp.float32)  # [HW, C]
+    hw, c = x.shape
+    cg = c // groups
+
+    s1 = jnp.sum(x, axis=0)  # [C]
+    s2 = jnp.sum(x * x, axis=0)  # [C]
+    g1 = jnp.sum(s1.reshape(groups, cg), axis=1)  # [G]
+    g2 = jnp.sum(s2.reshape(groups, cg), axis=1)
+    count = hw * cg
+    mean_g = g1 / count
+    var_g = g2 / count - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+
+    mean_c = jnp.repeat(mean_g, cg)  # [C]
+    inv_c = jnp.repeat(inv_g, cg)
+    y = (x - mean_c[None, :]) * inv_c[None, :]
+    y = y * scale_ref[:].astype(jnp.float32)[None, :] + bias_ref[:].astype(
+        jnp.float32
+    )[None, :]
+    y = y * jax.nn.sigmoid(y)  # SiLU
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _xla_group_norm_silu(x, scale, bias, groups, eps):
+    b, h, w, c = x.shape
+    xr = x.astype(jnp.float32).reshape(b, h * w, groups, c // groups)
+    mean = jnp.mean(xr, axis=(1, 3), keepdims=True)
+    var = jnp.var(xr, axis=(1, 3), keepdims=True)
+    y = (xr - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, h, w, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return (y * jax.nn.sigmoid(y)).astype(x.dtype)
+
+
+def _pallas_group_norm_silu(x, scale, bias, groups: int, eps: float):
+    b, h, w, c = x.shape
+    xf = x.reshape(b, h * w, c)
+    out = pl.pallas_call(
+        functools.partial(_kernel, groups=groups, eps=eps),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(xf, scale, bias)
+    return out.reshape(b, h, w, c)
+
+
+def _eligible(x, groups: int) -> bool:
+    b, h, w, c = x.shape
+    if c % groups or c % 128:
+        return False
+    if (h * w) % 8:
+        return False
+    # input + output + fp32 working copy
+    if (h * w) * c * (x.dtype.itemsize * 2 + 4) > VMEM_BUDGET_BYTES:
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def group_norm_silu(x, scale, bias, groups: int = 32, eps: float = 1e-5):
+    """Fused GroupNorm+SiLU over NHWC. Pallas on TPU when the slab fits
+    VMEM; XLA otherwise."""
+    if _eligible(x, groups):
+        return _pallas_group_norm_silu(x, scale, bias, groups, eps)
+    return _xla_group_norm_silu(x, scale, bias, groups, eps)
+
+
+def _fwd(x, scale, bias, groups, eps):
+    return group_norm_silu(x, scale, bias, groups, eps), (x, scale, bias)
+
+
+def _bwd(groups, eps, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x, s, b: _xla_group_norm_silu(x, s, b, groups, eps), x, scale, bias
+    )
+    return vjp(g)
+
+
+group_norm_silu.defvjp(_fwd, _bwd)
+
+
+def make_group_norm_silu_module():
+    """flax Module wrapper with nn.GroupNorm's param names (scale/bias), so
+    checkpoints and converters are layout-identical to nn.GroupNorm."""
+    from flax import linen as nn
+
+    class GroupNormSiLU(nn.Module):
+        groups: int = 32
+        epsilon: float = 1e-5
+
+        @nn.compact
+        def __call__(self, x):
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            return group_norm_silu(
+                x, scale.astype(x.dtype), bias.astype(x.dtype),
+                self.groups, self.epsilon,
+            )
+
+    return GroupNormSiLU
+
+
+GroupNormSiLU = make_group_norm_silu_module()

@@ -84,3 +84,42 @@ def test_attention_mask():
     expected = (v[0, 0, 0] + v[0, 0, 1]) / 2
     np.testing.assert_allclose(np.asarray(out[0, 0, 0]), np.asarray(expected),
                                atol=1e-5)
+
+
+def test_group_norm_silu_matches_flax(monkeypatch):
+    """Pallas GN+SiLU (interpreter mode) vs flax GroupNorm + silu."""
+    from flax import linen as nn
+
+    from clap2diffusion_tpu.ops import groupnorm as gn
+
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(gn.pl, "pallas_call", interp)
+    monkeypatch.setattr(gn, "_eligible", lambda x, groups: True)
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 128)) * 2 + 0.5
+    scale = jax.random.normal(jax.random.key(1), (128,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.key(2), (128,)) * 0.1
+
+    ours = gn.group_norm_silu(x, scale, bias, groups=32)
+    m = nn.GroupNorm(num_groups=32, epsilon=1e-5)
+    ref = m.apply({"params": {"scale": scale, "bias": bias}}, x)
+    ref = ref * jax.nn.sigmoid(ref)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+def test_group_norm_silu_grad_matches_xla(monkeypatch):
+    from clap2diffusion_tpu.ops import groupnorm as gn
+
+    x = jax.random.normal(jax.random.key(0), (1, 4, 4, 64))
+    scale = jnp.ones((64,))
+    bias = jnp.zeros((64,))
+    g_fused = jax.grad(lambda x: gn.group_norm_silu(x, scale, bias, 8).sum())(x)
+    g_ref = jax.grad(lambda x: gn._xla_group_norm_silu(x, scale, bias, 8, 1e-5).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=2e-5)
