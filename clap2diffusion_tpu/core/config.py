@@ -183,6 +183,9 @@ class UNetConfig:
     mid_block_level: str = "mid"
     audio_inject: bool = True
     flash_attention: bool = True
+    # rematerialize transformer/resnet blocks under autodiff (trades FLOPs
+    # for HBM; jax.checkpoint) — used by the stage-2/3 training configs
+    remat: bool = False
 
 
 @dataclass(frozen=True)

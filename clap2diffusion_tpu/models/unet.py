@@ -214,6 +214,9 @@ class UNet2DCondition(nn.Module):
                     name=f"audio_inject_{lvl}",
                 )(encoder_hidden_states, tokens)
 
+        ResBlock = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
+        TfBlock = nn.remat(Transformer2D) if cfg.remat else Transformer2D
+
         h = nn.Conv(block_ch[0], (3, 3), padding=1, name="conv_in")(sample)
         skips = [h]
 
@@ -222,12 +225,12 @@ class UNet2DCondition(nn.Module):
             has_attn = cfg.cross_attn_blocks[i]
             ctx = ctx_by_level[cfg.down_block_levels[i]]
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock(
+                h = ResBlock(
                     out_channels=ch, groups=cfg.norm_num_groups,
                     name=f"down_{i}_resnet_{j}"
                 )(h, temb)
                 if has_attn:
-                    h = Transformer2D(
+                    h = TfBlock(
                         channels=ch, num_heads=cfg.num_attention_heads,
                         context_dim=cfg.cross_attention_dim,
                         groups=cfg.norm_num_groups,
@@ -241,15 +244,15 @@ class UNet2DCondition(nn.Module):
 
         # Mid
         ctx = ctx_by_level[cfg.mid_block_level]
-        h = ResnetBlock(out_channels=block_ch[-1], groups=cfg.norm_num_groups,
-                        name="mid_resnet_0")(h, temb)
-        h = Transformer2D(
+        h = ResBlock(out_channels=block_ch[-1], groups=cfg.norm_num_groups,
+                     name="mid_resnet_0")(h, temb)
+        h = TfBlock(
             channels=block_ch[-1], num_heads=cfg.num_attention_heads,
             context_dim=cfg.cross_attention_dim, groups=cfg.norm_num_groups,
             use_flash=cfg.flash_attention, name="mid_attn",
         )(h, ctx)
-        h = ResnetBlock(out_channels=block_ch[-1], groups=cfg.norm_num_groups,
-                        name="mid_resnet_1")(h, temb)
+        h = ResBlock(out_channels=block_ch[-1], groups=cfg.norm_num_groups,
+                     name="mid_resnet_1")(h, temb)
 
         # Up path (reversed channels; one extra resnet per block for skips)
         for i, ch in enumerate(reversed(block_ch)):
@@ -259,10 +262,10 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResnetBlock(out_channels=ch, groups=cfg.norm_num_groups,
-                                name=f"up_{i}_resnet_{j}")(h, temb)
+                h = ResBlock(out_channels=ch, groups=cfg.norm_num_groups,
+                             name=f"up_{i}_resnet_{j}")(h, temb)
                 if has_attn:
-                    h = Transformer2D(
+                    h = TfBlock(
                         channels=ch, num_heads=cfg.num_attention_heads,
                         context_dim=cfg.cross_attention_dim,
                         groups=cfg.norm_num_groups,
