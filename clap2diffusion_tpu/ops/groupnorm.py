@@ -33,18 +33,25 @@ def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: float):
     hw, c = x.shape
     cg = c // groups
 
-    s1 = jnp.sum(x, axis=0)  # [C]
-    s2 = jnp.sum(x * x, axis=0)  # [C]
-    g1 = jnp.sum(s1.reshape(groups, cg), axis=1)  # [G]
-    g2 = jnp.sum(s2.reshape(groups, cg), axis=1)
+    # Per-group stats via mask matmuls (Mosaic-friendly: no 1-D reshapes).
+    # mask[c, g] = 1 if channel c belongs to group g; a trace-time constant.
+    cols = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    mask = (cols == grp).astype(jnp.float32)  # [C, G]
+
+    s1 = jnp.sum(x, axis=0, keepdims=True)  # [1, C]
+    s2 = jnp.sum(x * x, axis=0, keepdims=True)
+    g1 = jnp.dot(s1, mask, preferred_element_type=jnp.float32)  # [1, G]
+    g2 = jnp.dot(s2, mask, preferred_element_type=jnp.float32)
     count = hw * cg
     mean_g = g1 / count
     var_g = g2 / count - mean_g * mean_g
     inv_g = jax.lax.rsqrt(var_g + eps)
 
-    mean_c = jnp.repeat(mean_g, cg)  # [C]
-    inv_c = jnp.repeat(inv_g, cg)
-    y = (x - mean_c[None, :]) * inv_c[None, :]
+    # broadcast back to channels: [1, G] @ [G, C]
+    mean_c = jnp.dot(mean_g, mask.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, mask.T, preferred_element_type=jnp.float32)
+    y = (x - mean_c) * inv_c
     y = y * scale_ref[:].astype(jnp.float32)[None, :] + bias_ref[:].astype(
         jnp.float32
     )[None, :]

@@ -123,3 +123,36 @@ def test_group_norm_silu_grad_matches_xla(monkeypatch):
     g_fused = jax.grad(lambda x: gn.group_norm_silu(x, scale, bias, 8).sum())(x)
     g_ref = jax.grad(lambda x: gn._xla_group_norm_silu(x, scale, bias, 8, 1e-5).sum())(x)
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=2e-5)
+
+
+def test_flash_full_vjp_matches_xla_all_inputs(monkeypatch):
+    """Pallas flash backward kernel (interpreter mode) vs XLA autodiff for
+    dq, dk, dv, including non-128-aligned head dim and multiple q blocks."""
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp)
+    monkeypatch.setattr(fa, "DEFAULT_BLOCK_Q", 128)  # force 4 q-blocks
+
+    q = jax.random.normal(jax.random.key(0), (1, 2, 512, 40))
+    k = jax.random.normal(jax.random.key(1), (1, 2, 384, 40))
+    v = jax.random.normal(jax.random.key(2), (1, 2, 384, 40))
+    g = jax.random.normal(jax.random.key(3), (1, 2, 512, 40))
+    scale = 40**-0.5
+
+    def loss_flash(q, k, v):
+        return (fa.flash_attention(q, k, v, scale) * g).sum()
+
+    def loss_ref(q, k, v):
+        return (fa._xla_attention(q, k, v, scale) * g).sum()
+
+    gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=5e-5)
