@@ -15,7 +15,7 @@ Rebuilds the reference's training utilities as optax transforms:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -157,3 +157,51 @@ class LossBalancer:
                 n: total / (k * (abs(m) + 1e-8)) for n, m in mags.items()
             }
         return dict(self.weights)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive gradient clipping (reference utils/training_utils.py:48-96):
+# clip threshold = mean + 2*std of the last `history` gradient norms, once
+# enough history accumulates; plain max_norm before that.
+# ---------------------------------------------------------------------------
+
+
+class AdaptiveClipState(NamedTuple):
+    norms: jax.Array  # [history] ring buffer
+    count: jax.Array  # total updates seen
+
+
+def adaptive_clip_by_global_norm(
+    max_norm: float, history: int = 100, min_samples: int = 10
+) -> optax.GradientTransformation:
+    def init_fn(params):
+        del params
+        return AdaptiveClipState(
+            norms=jnp.zeros((history,), jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        g_norm = optax.global_norm(updates)
+        n_valid = jnp.minimum(state.count, history)
+        mask = (
+            jax.lax.broadcasted_iota(jnp.int32, (history, 1), 0).squeeze(-1)
+            < n_valid
+        )
+        mean = jnp.sum(jnp.where(mask, state.norms, 0.0)) / jnp.maximum(n_valid, 1)
+        var = jnp.sum(jnp.where(mask, (state.norms - mean) ** 2, 0.0)) / jnp.maximum(
+            n_valid, 1
+        )
+        adaptive = mean + 2.0 * jnp.sqrt(var)
+        threshold = jnp.where(state.count >= min_samples, adaptive, max_norm)
+        threshold = jnp.maximum(threshold, 1e-6)
+
+        scale = jnp.minimum(1.0, threshold / (g_norm + 1e-6))
+        updates = jax.tree.map(lambda u: u * scale.astype(u.dtype), updates)
+        new_norms = state.norms.at[state.count % history].set(
+            g_norm.astype(jnp.float32)
+        )
+        return updates, AdaptiveClipState(norms=new_norms, count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)

@@ -223,3 +223,25 @@ def test_checkpoint_roundtrip(tmp_path, tiny_params):
         np.asarray(restored.params["token_generator"]["kv_fc1"]["kernel"]),
         np.asarray(state.params["token_generator"]["kv_fc1"]["kernel"]),
     )
+
+
+def test_adaptive_clip():
+    from clap2diffusion_tpu.train.optim import adaptive_clip_by_global_norm
+
+    tx = adaptive_clip_by_global_norm(max_norm=1.0, history=10, min_samples=5)
+    params = {"k": jnp.zeros(4)}
+    state = tx.init(params)
+    # feed consistent small-norm grads to build history
+    for _ in range(6):
+        g = {"k": jnp.ones(4) * 0.1}  # norm 0.2
+        out, state = tx.update(g, state)
+    # now a huge outlier grad gets clipped to ~mean+2std (~0.2), not 1.0
+    big = {"k": jnp.ones(4) * 100.0}
+    out, state = tx.update(big, state)
+    clipped_norm = float(jnp.linalg.norm(out["k"]))
+    assert clipped_norm < 0.5
+    # before history accrues, plain max_norm applies
+    tx2 = adaptive_clip_by_global_norm(max_norm=1.0, history=10, min_samples=5)
+    s2 = tx2.init(params)
+    out2, _ = tx2.update(big, s2)
+    assert float(jnp.linalg.norm(out2["k"])) == pytest.approx(1.0, rel=1e-3)
