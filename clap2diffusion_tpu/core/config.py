@@ -215,6 +215,20 @@ class CLIPTextConfig:
 
 
 @dataclass(frozen=True)
+class CLIPVisionConfig:
+    """OpenAI CLIP ViT-L/14 vision encoder (CLIPScore's image side)."""
+
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    projection_dim: int = 768
+    layer_norm_eps: float = 1e-5
+
+
+@dataclass(frozen=True)
 class SchedulerConfig:
     """DDIM noise schedule, SD v1.5 defaults (scaled-linear betas)."""
 
@@ -367,7 +381,7 @@ _TYPE_REGISTRY = {
     c.__name__: c
     for c in (
         AudioFrontendConfig, HTSATConfig, CLAPTextConfig, CLAPConfig,
-        ConditionConfig, UNetConfig, VAEConfig, CLIPTextConfig,
+        ConditionConfig, UNetConfig, VAEConfig, CLIPTextConfig, CLIPVisionConfig,
         SchedulerConfig, DiffusionConfig, DataConfig, StageConfig,
         TrainConfig, Config,
     )

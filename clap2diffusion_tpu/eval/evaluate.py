@@ -49,6 +49,24 @@ def run_evaluation(
 
     per_sample: Dict[str, list] = {"audio_alignment_proxy": [], "image_std": [],
                                    "latency_s": []}
+    # Real CLIPScore path: active when CLIP vision weights (+ text
+    # projection) are loaded into the params dict.
+    clip_vision_apply = None
+    if params and "clip_vision" in params and "clip_text_projection" in params:
+        import jax
+        from clap2diffusion_tpu.core.config import CLIPVisionConfig
+        from clap2diffusion_tpu.models.clip_vision import (
+            CLIPVisionEncoder,
+            clip_text_features,
+            preprocess_images,
+        )
+
+        vision = CLIPVisionEncoder(cfg=CLIPVisionConfig())
+        clip_vision_apply = jax.jit(
+            lambda px: vision.apply({"params": params["clip_vision"]}, px)
+        )
+        per_sample["clip_score"] = []
+
     records = []
     images = []
     for i in range(n):
@@ -76,6 +94,17 @@ def run_evaluation(
         )
         per_sample["image_std"].append(float(img.std() / 255.0))
         per_sample["latency_s"].append(dt)
+        if clip_vision_apply is not None:
+            ids = tok(item["caption"])
+            img_feats = np.asarray(clip_vision_apply(
+                jnp.asarray(preprocess_images(img[None]))
+            ))
+            txt_hidden = np.asarray(pipe.encode_text(jnp.asarray(ids)))
+            txt_feats = np.asarray(clip_text_features(
+                jnp.asarray(txt_hidden), jnp.asarray(ids),
+                jnp.asarray(params["clip_text_projection"]),
+            ))
+            per_sample["clip_score"].append(M.clip_score(img_feats, txt_feats))
         records.append(
             {"id": item["audio_id"], "caption": item["caption"], "latency_s": dt}
         )

@@ -240,3 +240,39 @@ def test_vae_converter_structural_match():
         model.init, jax.random.key(0), jnp.ones((1, 32, 32, 3)), jax.random.key(1)
     )["params"]
     assert _tree_shapes(converted) == _tree_shapes(ref)
+
+
+def test_clip_vision_parity_full_geometry():
+    """Full ViT-L/14 vision tower vs a randomly initialized transformers
+    CLIPVisionModelWithProjection."""
+    from transformers import CLIPVisionConfig as HFV, CLIPVisionModelWithProjection
+
+    from clap2diffusion_tpu.core.config import CLIPVisionConfig
+    from clap2diffusion_tpu.models.clip_vision import (
+        CLIPVisionEncoder,
+        convert_clip_vision,
+        preprocess_images,
+    )
+
+    torch.manual_seed(0)
+    hf = CLIPVisionModelWithProjection(
+        HFV(hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
+            num_attention_heads=16, image_size=224, patch_size=14,
+            projection_dim=768, hidden_act="quick_gelu")
+    ).eval()
+    params = convert_clip_vision(hf.state_dict())
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, size=(2, 256, 320, 3), dtype=np.uint8)
+    pixels = preprocess_images(imgs)
+    with torch.no_grad():
+        theirs = hf(
+            pixel_values=torch.from_numpy(pixels.transpose(0, 3, 1, 2))
+        ).image_embeds.numpy()
+    theirs = theirs / np.linalg.norm(theirs, axis=-1, keepdims=True)
+
+    model = CLIPVisionEncoder(cfg=CLIPVisionConfig())
+    ours = np.asarray(model.apply({"params": params}, jnp.asarray(pixels)))
+    assert ours.shape == theirs.shape == (2, 768)
+    np.testing.assert_allclose(ours, theirs, atol=3e-3)
+    assert ((ours * theirs).sum(-1) > 0.999).all()
