@@ -233,3 +233,16 @@ def convert_clip_text(sd, cfg: CLIPTextConfig | None = None) -> Dict:
             "fc2": _dense(sd, lp + ".mlp.fc2"),
         }
     return p
+
+
+def convert_clip_full(sd, text_cfg: CLIPTextConfig | None = None):
+    """Full CLIPModel state dict -> (text_params, text_projection_kernel,
+    vision_params). Use for the real CLIPScore evaluation path."""
+    from clap2diffusion_tpu.models.clip_vision import convert_clip_vision
+
+    text = convert_clip_text(sd, text_cfg)
+    tproj = None
+    if "text_projection.weight" in sd:
+        tproj = _np(sd["text_projection.weight"]).T
+    vision = convert_clip_vision(sd)
+    return text, tproj, vision
