@@ -89,6 +89,14 @@ def _pallas_group_norm_silu(x, scale, bias, groups: int, eps: float):
 
 
 def _eligible(x, groups: int) -> bool:
+    # Measured on v5e: the standalone GN+SiLU kernel LOSES to XLA's own
+    # norm+activation+conv fusion on the 50-step DDIM path (1.55s vs 1.30s
+    # p50/image) — per-call launch overhead x ~12k calls dominates. Keep the
+    # kernel opt-in (C2D_FUSED_GN=1) pending a conv-fused variant.
+    import os
+
+    if os.environ.get("C2D_FUSED_GN") != "1":
+        return False
     b, h, w, c = x.shape
     if c % groups or c % 128:
         return False

@@ -44,21 +44,23 @@ class EmbeddingFrontend:
         clap = ClapAudioTower(cfg=cfg.clap.audio)
         clip = CLIPTextEncoder(cfg=cfg.diffusion.clip_text)
         self.tokenizer = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
-        clap_params = params["clap_audio"]
-        clip_params = params["clip_text"]
+        self._clap_params = params["clap_audio"]
+        self._clip_params = params["clip_text"]
 
+        # params are jit ARGUMENTS (closing over them would bake ~1GB of
+        # weights into the program as constants; see memory: axon-tpu-quirks)
         @jax.jit
-        def encode_audio(wav):
+        def encode_audio(p, wav):
             mel = log_mel_spectrogram(wav, cfg.clap.frontend)
-            return clap.apply({"params": clap_params}, mel)
+            return clap.apply({"params": p}, mel)
 
         @jax.jit
-        def encode_text(ids):
-            ctx = clip.apply({"params": clip_params}, ids)
+        def encode_text(p, ids):
+            ctx = clip.apply({"params": p}, ids)
             return ctx, ctx.mean(axis=1)
 
-        self.encode_audio = encode_audio
-        self.encode_text = encode_text
+        self.encode_audio = lambda wav: encode_audio(self._clap_params, wav)
+        self.encode_text = lambda ids: encode_text(self._clip_params, ids)
 
     def embed_batch(self, batch: Dict) -> Dict:
         clap = self.encode_audio(jnp.asarray(batch["audio"]))
@@ -81,8 +83,14 @@ def run_stage(
     checkpoint_dir: Optional[str] = None,
     log_dir: Optional[str] = None,
     seed: Optional[int] = None,
+    resume_from: Optional[str] = None,
 ) -> TrainState:
-    """Run one training stage end-to-end; returns the final TrainState."""
+    """Run one training stage end-to-end; returns the final TrainState.
+
+    ``resume_from``: orbax checkpoint name inside ``checkpoint_dir`` to
+    restore (params, opt state, step) before continuing — the reference's
+    stage-chained torch.load flow (reference train_stage2.py:37-42) as real
+    crash-safe resume."""
     seed = cfg.train.seed if seed is None else seed
     data_root = data_root or cfg.data.data_root
     scfg = getattr(cfg.train, f"stage{stage}")
@@ -107,9 +115,18 @@ def run_stage(
     else:
         raise ValueError(f"unknown stage {stage}")
 
-    mesh = make_train_mesh()
+    # data axis must divide the per-step batch; use the largest divisor
+    n_dev = len(jax.devices())
+    dp = max(d for d in range(1, n_dev + 1) if scfg.batch_size % d == 0 and d <= n_dev)
+    mesh = make_train_mesh(dp)
     tx = init_tx(stage_params)
+    from clap2diffusion_tpu.parallel.sharding import replicate
     state = TrainState.create(stage_params, tx, use_ema=scfg.use_ema)
+    if resume_from and checkpoint_dir:
+        from clap2diffusion_tpu.train.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(checkpoint_dir, state, name=resume_from)
+    state = replicate(state, mesh)  # params/opt live on the DP mesh
     frontend = EmbeddingFrontend(cfg, params)
 
     dataset = AudioCapsLatentDataset(
@@ -128,7 +145,7 @@ def run_stage(
     jstep = jax.jit(lambda s, b, r: step_fn(s, b, r, tx))
     rng = jax.random.key(seed)
 
-    done = 0
+    done = int(state.step)
     epoch = 0
     t0 = time.time()
     while done < steps:

@@ -245,3 +245,54 @@ def test_adaptive_clip():
     s2 = tx2.init(params)
     out2, _ = tx2.update(big, s2)
     assert float(jnp.linalg.norm(out2["k"])) == pytest.approx(1.0, rel=1e-3)
+
+
+def test_run_stage1_end_to_end(tmp_path, tiny_params):
+    """Full trainer loop on fixture data: dataset -> embeddings -> sharded
+    steps -> checkpoint -> resume."""
+    from clap2diffusion_tpu.core.config import apply_overrides
+    from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
+    from clap2diffusion_tpu.train.trainer import run_stage
+
+    cfg, params = tiny_params
+    cfg = apply_overrides(cfg, [
+        "train.stage1.grad_accum=1", "train.stage1.batch_size=2",
+        "train.stage1.log_every=2", "train.stage1.save_every=3",
+        "data.duration_s=0.5",
+    ])
+    root = str(tmp_path / "ds")
+    make_fixture_dataset(root, n_train=4, n_val=1, n_test=1, duration_s=0.5,
+                         latent_hw=cfg.diffusion.image_size // 8)
+    ckpt = str(tmp_path / "ckpt")
+    state = run_stage(cfg, 1, params, data_root=root, max_steps=4,
+                      checkpoint_dir=ckpt, log_dir=str(tmp_path / "logs"))
+    assert int(state.step) == 4
+    import os
+
+    assert os.path.exists(os.path.join(ckpt, "stage1_final"))
+    # metrics were logged
+    logs = (tmp_path / "logs" / "stage1.jsonl").read_text().strip().splitlines()
+    assert len(logs) >= 2
+    # resume continues from the saved step
+    state2 = run_stage(cfg, 1, params, data_root=root, max_steps=6,
+                       checkpoint_dir=ckpt, log_dir=str(tmp_path / "logs"),
+                       resume_from="stage1_final")
+    assert int(state2.step) == 6
+
+
+def test_run_stage2_end_to_end(tmp_path, tiny_params):
+    from clap2diffusion_tpu.core.config import apply_overrides
+    from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
+    from clap2diffusion_tpu.train.trainer import run_stage
+
+    cfg, params = tiny_params
+    cfg = apply_overrides(cfg, [
+        "train.stage2.grad_accum=1", "train.stage2.batch_size=2",
+        "train.stage2.log_every=1", "data.duration_s=0.5",
+    ])
+    root = str(tmp_path / "ds")
+    make_fixture_dataset(root, n_train=4, n_val=1, n_test=1, duration_s=0.5,
+                         latent_hw=cfg.diffusion.image_size // 8)
+    state = run_stage(cfg, 2, params, data_root=root, max_steps=2,
+                      log_dir=str(tmp_path / "logs"))
+    assert int(state.step) == 2
