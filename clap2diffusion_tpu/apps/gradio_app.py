@@ -20,6 +20,7 @@ _MODEL_TYPES = {
     "Hierarchical V4": "hierarchical",
     "SonicDiffusion": "sonic",
     "Baseline": "baseline",
+    "Audio tokens only": "audio_tokens",
 }
 
 

@@ -46,7 +46,7 @@ def cmd_infer(args) -> int:
     tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
 
     wav = pipe.load_audio(args.audio) if args.audio else None
-    text_ids = tok(args.text) if args.text else None
+    text_ids = tok(args.text or "")
     uncond_ids = tok("")
     images = pipe.generate(
         waveform=wav,
@@ -149,7 +149,7 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--norm", type=float, default=60.0)
     pi.add_argument("--batch", type=int, default=1)
     pi.add_argument("--model-type", default="hierarchical",
-                    choices=["hierarchical", "sonic", "baseline"])
+                    choices=["hierarchical", "sonic", "baseline", "audio_tokens"])
     _add_common(pi)
     pi.set_defaults(fn=cmd_infer)
 

@@ -190,12 +190,18 @@ class AudioToImagePipeline:
         ehs_uncond = self.m.clip_text.apply(
             {"params": params["clip_text"]}, uncond_ids
         )
-        _, routed = (
+        tokens77, routed = (
             (None, None)
             if clap_emb is None
             else self._condition(params, clap_emb, model_type, norm_target,
                                  temperature)
         )
+        if model_type == "audio_tokens" and tokens77 is not None:
+            # 77-token replacement path: hierarchical audio tokens stand in
+            # for the CLIP text context (SURVEY.md section 1, path 1 —
+            # reference models/hierarchical_audio_v4.py:464-492 produces
+            # CLIP-shaped tokens usable anywhere text embeddings go).
+            ehs_cond = tokens77.astype(ehs_cond.dtype)
 
         def unet_apply(lat, t, ctx, audio):
             return self.m.unet.apply({"params": params["unet"]}, lat, t, ctx, audio)

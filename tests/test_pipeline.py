@@ -115,3 +115,13 @@ def test_wav_roundtrip(tmp_path, pipe):
     np.testing.assert_allclose(x, y, atol=1e-3)
     wav = pipe.load_audio(p)
     assert wav.shape == (24_000,)
+
+
+def test_audio_tokens_replacement_mode(pipe):
+    """77-token replacement path: audio tokens stand in for the CLIP text
+    context (distinct output from the text-context hierarchical mode)."""
+    wav = np.random.default_rng(0).normal(size=24_000).astype(np.float32) * 0.1
+    a = pipe.generate(waveform=wav, num_steps=2, seed=9, model_type="audio_tokens")
+    b = pipe.generate(waveform=wav, num_steps=2, seed=9, model_type="hierarchical")
+    assert a.shape == b.shape
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 0
