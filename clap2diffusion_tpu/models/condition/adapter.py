@@ -77,14 +77,14 @@ class AudioTokenGenerator(nn.Module):
 
         for i in range(c.adapter_self_attn_layers):
             residual = tokens
-            h = nn.LayerNorm(name=f"ln_{i}")(tokens)
+            h = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(tokens)
             h = AudioSelfAttention(
                 hidden_dim=d, num_heads=c.adapter_heads, name=f"self_attn_{i}"
             )(h, deterministic=deterministic)
             tokens = h + residual
 
         tokens = nn.Dense(d, name="output_proj")(tokens)
-        return nn.LayerNorm(name="output_norm")(tokens)
+        return nn.LayerNorm(epsilon=1e-5, name="output_norm")(tokens)
 
 
 class AudioAdapter(nn.Module):
@@ -121,7 +121,7 @@ class GatedAudioCrossAttention(nn.Module):
     ) -> jax.Array:
         inner = self.heads * self.dim_head
         residual = hidden_states
-        x = nn.LayerNorm(name="norm")(hidden_states)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(hidden_states)
         q = nn.Dense(inner, use_bias=False, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, name="to_k")(audio_context)
         v = nn.Dense(inner, use_bias=False, name="to_v")(audio_context)

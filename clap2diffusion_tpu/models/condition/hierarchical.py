@@ -63,7 +63,7 @@ class CrossHierarchyAttention(nn.Module):
         x = nn.Dense(self.bottleneck_dim, name="input_proj")(x)
 
         residual = x
-        h = nn.LayerNorm(name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         qkv = nn.Dense(self.bottleneck_dim * 3, name="qkv")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         attn = mha(q, k, v, self.num_heads)
@@ -72,7 +72,7 @@ class CrossHierarchyAttention(nn.Module):
         x = residual + attn
 
         residual = x
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         hidden = int(self.bottleneck_dim * self.mlp_ratio)
         h = nn.Dense(hidden, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)
@@ -104,7 +104,7 @@ class SoftHierarchicalDecomposition(nn.Module):
         # Factorized token generator: shared MLP + per-token offsets (:109-118)
         h = nn.Dense(512, name="mlp_fc1")(audio_features)
         h = nn.gelu(h, approximate=False)
-        h = nn.LayerNorm(name="mlp_norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="mlp_norm")(h)
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
         shared = nn.Dense(c.token_dim, name="mlp_fc2")(h)  # [B, D]
 
@@ -141,7 +141,7 @@ class SoftHierarchicalDecomposition(nn.Module):
             mlp_ratio=1.5,  # (reference :143)
             name="cross_hierarchy_attn",
         )(tokens, deterministic=deterministic)
-        tokens = nn.LayerNorm(name="norm")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-5, name="norm")(tokens)
 
         info = {
             "assignments": assignments.astype(tokens.dtype),
@@ -163,7 +163,7 @@ class AdaptiveHierarchyWeights(nn.Module):
     def __call__(self, audio_features: jax.Array) -> jax.Array:
         h = nn.Dense(self.hidden_dim, name="fc1")(audio_features)
         h = nn.gelu(h, approximate=False)
-        h = nn.LayerNorm(name="norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         logits = nn.Dense(self.num_levels, name="fc2")(h)
         return jax.nn.softmax(logits, axis=-1)
 
@@ -228,8 +228,8 @@ class PerceiverCrossBlock(nn.Module):
     def __call__(
         self, queries: jax.Array, keys_values: jax.Array, *, deterministic: bool = True
     ) -> jax.Array:
-        qn = nn.LayerNorm(name="ln_q")(queries)
-        kvn = nn.LayerNorm(name="ln_kv")(keys_values)
+        qn = nn.LayerNorm(epsilon=1e-5, name="ln_q")(queries)
+        kvn = nn.LayerNorm(epsilon=1e-5, name="ln_kv")(keys_values)
         q = nn.Dense(self.d_model, name="q_proj")(qn)
         k = nn.Dense(self.d_model, name="k_proj")(kvn)
         v = nn.Dense(self.d_model, name="v_proj")(kvn)
@@ -237,7 +237,7 @@ class PerceiverCrossBlock(nn.Module):
         attn = nn.Dense(self.d_model, name="out_proj")(attn)
         queries = queries + attn
 
-        h = nn.LayerNorm(name="ffn_norm")(queries)
+        h = nn.LayerNorm(epsilon=1e-5, name="ffn_norm")(queries)
         h = nn.Dense(self.d_model * 2, name="ffn_fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -287,7 +287,7 @@ class AudioProjectionTransformer77(nn.Module):
             (1, c.num_output_tokens, c.token_dim),
         )
         out = out + clip_pos.astype(out.dtype)
-        return nn.LayerNorm(name="out_norm")(out)
+        return nn.LayerNorm(epsilon=1e-5, name="out_norm")(out)
 
 
 class HierarchicalAudioEncoder(nn.Module):
@@ -438,7 +438,7 @@ class RigidHierarchicalDecomposition(nn.Module):
             mlp_ratio=2.0,  # legacy keeps the CHA default (reference :834)
             name="cross_hierarchy_attn",
         )(tokens, deterministic=deterministic)
-        return nn.LayerNorm(name="layer_norm")(tokens)
+        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(tokens)
 
 
 class HierarchicalAudioV4(nn.Module):

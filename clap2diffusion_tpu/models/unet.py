@@ -119,13 +119,13 @@ class BasicTransformerBlock(nn.Module):
         x = x + CrossAttention(
             query_dim=self.dim, num_heads=self.num_heads,
             use_flash=self.use_flash, name="attn1",
-        )(nn.LayerNorm(name="norm1")(x))
+        )(nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
         x = x + CrossAttention(
             query_dim=self.dim, context_dim=self.context_dim,
             num_heads=self.num_heads, name="attn2",
-        )(nn.LayerNorm(name="norm2")(x), context)
+        )(nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context)
         x = x + GEGLUFeedForward(dim=self.dim, name="ff")(
-            nn.LayerNorm(name="norm3")(x)
+            nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         )
         return x
 

@@ -8,6 +8,8 @@ headline contract.
 from __future__ import annotations
 
 import sys
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax
