@@ -296,6 +296,9 @@ class StageConfig:
     use_ema: bool = False
     log_every: int = 50
     save_every: int = 500
+    # steps executed inside ONE jit call (lax.scan over stacked batches);
+    # >1 amortizes per-dispatch latency — essential on remote-tunneled TPUs
+    steps_per_call: int = 1
     loss_weights: Dict[str, float] = field(default_factory=dict)
 
 

@@ -142,27 +142,63 @@ def run_stage(
         dataset, batch_size=scfg.batch_size, seed=seed, prefetch=cfg.data.prefetch
     )
     logger = MetricLogger(log_dir or cfg.train.log_dir, run_name=f"stage{stage}")
+    spc = max(1, scfg.steps_per_call)
     jstep = jax.jit(lambda s, b, r: step_fn(s, b, r, tx))
+
+    @jax.jit
+    def jchunk(state, stacked, rngs):
+        def body(s, xs):
+            b, r = xs
+            s, m = step_fn(s, b, r, tx)
+            return s, m
+        return jax.lax.scan(body, state, (stacked, rngs))
+
     rng = jax.random.key(seed)
 
     done = int(state.step)
     epoch = 0
     t0 = time.time()
+    pending = []
     while done < steps:
         for batch in loader.epoch(epoch):
             emb = frontend.embed_batch(batch)
             emb = {k: emb[k] for k in keys}
-            emb = shard_batch(emb, mesh)
-            rng, sub = jax.random.split(rng)
-            state, metrics = jstep(state, emb, sub)
-            done += 1
-            if done % scfg.log_every == 0 or done == 1:
+            if spc == 1:
+                emb = shard_batch(emb, mesh)
+                rng, sub = jax.random.split(rng)
+                state, metrics = jstep(state, emb, sub)
+                done += 1
+            else:
+                pending.append(emb)
+                if len(pending) < spc and done + len(pending) < steps:
+                    continue
+                k = len(pending)
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pending)
+                pending = []
+                # shard the per-step batch axis (dim 1) over the data mesh
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                stacked = jax.tree.map(
+                    lambda x: jax.device_put(
+                        x,
+                        NamedSharding(
+                            mesh, P(None, "data", *([None] * (x.ndim - 2)))
+                        ),
+                    ),
+                    stacked,
+                )
+                rng, sub = jax.random.split(rng)
+                rngs = jax.random.split(sub, k)
+                state, metrics = jchunk(state, stacked, rngs)
+                metrics = jax.tree.map(lambda x: x[-1], metrics)
+                done += k
+            if done % scfg.log_every < spc or done <= spc:
                 scalars = {
-                    k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
+                    k2: float(v) for k2, v in metrics.items() if np.ndim(v) == 0
                 }
                 scalars["steps_per_s"] = done / (time.time() - t0)
                 logger.log(done, scalars)
-            if checkpoint_dir and done % scfg.save_every == 0:
+            if checkpoint_dir and done % scfg.save_every < spc and done >= scfg.save_every:
                 save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_step{done}")
             if done >= steps:
                 break

@@ -296,3 +296,24 @@ def test_run_stage2_end_to_end(tmp_path, tiny_params):
     state = run_stage(cfg, 2, params, data_root=root, max_steps=2,
                       log_dir=str(tmp_path / "logs"))
     assert int(state.step) == 2
+
+
+def test_run_stage1_steps_per_call(tmp_path, tiny_params):
+    """Scanned multi-step training (steps_per_call>1) matches the loop shape:
+    right step count, finite loss, logs written."""
+    from clap2diffusion_tpu.core.config import apply_overrides
+    from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
+    from clap2diffusion_tpu.train.trainer import run_stage
+
+    cfg, params = tiny_params
+    cfg = apply_overrides(cfg, [
+        "train.stage1.grad_accum=1", "train.stage1.batch_size=2",
+        "train.stage1.log_every=4", "train.stage1.steps_per_call=4",
+        "data.duration_s=0.5",
+    ])
+    root = str(tmp_path / "ds")
+    make_fixture_dataset(root, n_train=4, n_val=1, n_test=1, duration_s=0.5,
+                         latent_hw=cfg.diffusion.image_size // 8)
+    state = run_stage(cfg, 1, params, data_root=root, max_steps=8,
+                      log_dir=str(tmp_path / "logs"))
+    assert int(state.step) == 8
