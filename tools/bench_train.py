@@ -46,19 +46,33 @@ def main():
         },
         mesh,
     )
-    jstep = jax.jit(lambda s, b, r: step_fn(s, b, r, tx))
+    # scan K steps per dispatch (steps_per_call pattern): robust to the
+    # per-call RPC latency of remote-tunneled TPUs.
+    K = 50
+    stacked = jax.tree.map(lambda x: jnp.broadcast_to(x, (K,) + x.shape), batch)
 
-    state, m = jstep(state, batch, jax.random.key(0))
-    jax.block_until_ready(m["total"])
+    @jax.jit
+    def run_chunk(state, stacked, keys):
+        def body(s, xs):
+            b, r = xs
+            s, m = step_fn(s, b, r, tx)
+            return s, m["total"]
+        return jax.lax.scan(body, state, (stacked, keys))
+
+    keys = jax.random.split(jax.random.key(0), K)
+    state, losses = run_chunk(state, stacked, keys)
+    np.asarray(losses)  # host transfer = the only reliable sync on axon
     t0 = time.perf_counter()
-    iters = 100
-    for i in range(iters):
-        state, m = jstep(state, batch, jax.random.key(i))
-    float(m["total"])  # sync
+    chunks = 4
+    for i in range(chunks):
+        state, losses = run_chunk(state, stacked, keys)
+        np.asarray(losses)
     dt = time.perf_counter() - t0
+    iters = chunks * K
     print(
-        f"stage1 training: {iters/dt:.1f} steps/s, "
-        f"{iters*bs/dt:.0f} samples/s (bs={bs}, dp={dp}, loss={float(m['total']):.4f})"
+        f"stage1 training (scan-of-{K}): {iters/dt:.1f} steps/s, "
+        f"{iters*bs/dt:.0f} samples/s (bs={bs}, dp={dp}, "
+        f"loss={float(losses[-1]):.4f})"
     )
 
 
