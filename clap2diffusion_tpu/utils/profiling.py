@@ -45,13 +45,24 @@ class Timer:
         self.records.setdefault(name, []).append(time.perf_counter() - t0)
 
     def time_fn(self, name: str, fn, *args, warmup: int = 1, iters: int = 5):
-        """Run fn with block_until_ready; record per-iter wall time."""
+        """Record per-iter wall time, synchronizing via host transfer.
+
+        (block_until_ready is unreliable on tunneled backends — e.g. the
+        axon platform returns before execution completes; fetching one leaf
+        to the host is the only dependable fence.)"""
+
+        def sync(out):
+            leaves = jax.tree.leaves(out)
+            if leaves:
+                jax.device_get(leaves[0])
+            return out
+
         out = None
         for _ in range(warmup):
-            out = jax.block_until_ready(fn(*args))
+            out = sync(fn(*args))
         for _ in range(iters):
             t0 = time.perf_counter()
-            out = jax.block_until_ready(fn(*args))
+            out = sync(fn(*args))
             self.records.setdefault(name, []).append(time.perf_counter() - t0)
         return out
 
