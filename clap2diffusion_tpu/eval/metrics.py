@@ -88,3 +88,18 @@ def summarize(per_sample: Dict[str, list]) -> Dict[str, Dict[str, float]]:
         arr = np.asarray(vals, np.float64)
         out[k] = {"mean": float(arr.mean()), "std": float(arr.std())}
     return out
+
+
+def fid_from_images(images_a: np.ndarray, images_b: np.ndarray,
+                    feature_fn: Callable[[np.ndarray], np.ndarray],
+                    batch_size: int = 16) -> float:
+    """FID between two uint8 image sets using a pluggable feature extractor
+    (e.g. the CLIP vision tower; InceptionV3 when its weights are supplied)."""
+
+    def feats(images):
+        out = []
+        for i in range(0, len(images), batch_size):
+            out.append(np.asarray(feature_fn(images[i : i + batch_size])))
+        return np.concatenate(out, axis=0)
+
+    return frechet_distance(feats(images_a), feats(images_b))
