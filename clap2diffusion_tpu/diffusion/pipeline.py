@@ -175,7 +175,7 @@ class AudioToImagePipeline:
     def _generate_jit(
         self,
         params,
-        clap_emb: Optional[jax.Array],
+        waveform: Optional[jax.Array],
         text_ids: jax.Array,
         uncond_ids: jax.Array,
         num_steps: int,
@@ -186,6 +186,16 @@ class AudioToImagePipeline:
         norm_target: jax.Array,
         temperature: jax.Array,
     ) -> jax.Array:
+        # CLAP encode fused into the same program: one dispatch per image
+        # (a separate encode call costs an extra host round-trip).
+        clap_emb = None
+        if waveform is not None:
+            mel = log_mel_spectrogram(waveform, self.cfg.clap.frontend)
+            clap_emb = self.m.clap_audio.apply(
+                {"params": params["clap_audio"]}, mel
+            )
+            if batch > 1 and clap_emb.shape[0] == 1:
+                clap_emb = jnp.broadcast_to(clap_emb, (batch, clap_emb.shape[1]))
         ehs_cond = self.m.clip_text.apply({"params": params["clip_text"]}, text_ids)
         ehs_uncond = self.m.clip_text.apply(
             {"params": params["clip_text"]}, uncond_ids
@@ -256,18 +266,15 @@ class AudioToImagePipeline:
         if uncond_ids is None:
             uncond_ids = np.zeros((batch, max_len), np.int32)
 
-        clap_emb = None
+        wav = None
         if waveform is not None:
             wav = jnp.asarray(waveform)
             if wav.ndim == 1:
                 wav = wav[None]
-            clap_emb = self.encode_audio(wav)
-            if clap_emb.shape[0] == 1 and batch > 1:
-                clap_emb = jnp.broadcast_to(clap_emb, (batch, clap_emb.shape[1]))
 
         img = self._generate_jit(
             self.params,
-            clap_emb,
+            wav,
             jnp.asarray(text_ids, jnp.int32),
             jnp.asarray(uncond_ids, jnp.int32),
             num_steps,
