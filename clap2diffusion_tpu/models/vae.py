@@ -54,7 +54,9 @@ class VAEAttention(nn.Module):
         q = nn.Dense(c, name="to_q")(y)
         k = nn.Dense(c, name="to_k")(y)
         v = nn.Dense(c, name="to_v")(y)
-        y = mha(q, k, v, num_heads=1)
+        # 64x64 latents -> 4096 tokens at 512 dim: flash avoids the 67MB
+        # probability matrix in HBM
+        y = mha(q, k, v, num_heads=1, use_flash=True)
         y = nn.Dense(c, name="to_out")(y)
         return residual + y.reshape(b, h, w, c)
 

@@ -50,8 +50,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # normalize AFTER the PV matmul: a [Bq, D] scale instead of a [Bq, S]
+    # divide (S/D ~ 32x fewer VPU divisions at SD shapes)
+    pv = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (pv / denom).astype(o_ref.dtype)
 
 
 def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
