@@ -22,6 +22,7 @@ Model types (reference app/gradio_app.py:113-118):
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, Optional
 
@@ -286,3 +287,27 @@ class AudioToImagePipeline:
             jnp.asarray(temperature, jnp.float32),
         )
         return np.asarray(img)
+
+
+def save_pipeline(path: str, params: Dict[str, Any]) -> str:
+    """Persist the full parameter set (all six towers) as one orbax
+    checkpoint — the converted-weights artifact users load for serving."""
+    import orbax.checkpoint as ocp
+
+    p = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(p, params, force=True)
+    ckptr.wait_until_finished()
+    return p
+
+
+def load_pipeline(cfg: Config, path: str, dtype=None) -> "AudioToImagePipeline":
+    """Restore a pipeline from a save_pipeline checkpoint."""
+    import orbax.checkpoint as ocp
+
+    abstract = jax.eval_shape(lambda: init_params(cfg, seed=0))
+    ckptr = ocp.StandardCheckpointer()
+    params = ckptr.restore(os.path.abspath(path), abstract)
+    if dtype is not None:
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+    return AudioToImagePipeline(cfg, params=params)

@@ -125,3 +125,15 @@ def test_audio_tokens_replacement_mode(pipe):
     b = pipe.generate(waveform=wav, num_steps=2, seed=9, model_type="hierarchical")
     assert a.shape == b.shape
     assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+
+
+def test_pipeline_save_load_roundtrip(tmp_path, pipe):
+    from clap2diffusion_tpu.diffusion.pipeline import load_pipeline, save_pipeline
+
+    path = str(tmp_path / "pipeline_ckpt")
+    save_pipeline(path, pipe.params)
+    pipe2 = load_pipeline(tiny_config(), path)
+    wav = np.random.default_rng(0).normal(size=24_000).astype(np.float32) * 0.1
+    a = pipe.generate(waveform=wav, num_steps=2, seed=11)
+    b = pipe2.generate(waveform=wav, num_steps=2, seed=11)
+    np.testing.assert_array_equal(a, b)
