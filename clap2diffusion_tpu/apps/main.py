@@ -44,6 +44,26 @@ def cmd_infer(args) -> int:
     cfg = _load_cfg(args)
     pipe = AudioToImagePipeline(cfg, seed=args.seed)
     tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
+    from PIL import Image
+
+    if args.audio_dir:
+        import glob
+        import os
+
+        wavs = sorted(glob.glob(os.path.join(args.audio_dir, "*.wav")))
+        for path in wavs:
+            wav = pipe.load_audio(path)
+            img = pipe.generate(
+                waveform=wav, text_ids=tok(args.text or ""), uncond_ids=tok(""),
+                num_steps=args.steps, guidance_scale=args.cfg,
+                norm_target=args.norm, model_type=args.model_type,
+                seed=args.seed,
+            )[0]
+            stem = os.path.splitext(os.path.basename(path))[0]
+            out = args.output.replace(".png", f"_{stem}.png")
+            Image.fromarray(np.asarray(img)).save(out)
+            print(f"wrote {out}")
+        return 0
 
     wav = pipe.load_audio(args.audio) if args.audio else None
     text_ids = tok(args.text or "")
@@ -59,8 +79,6 @@ def cmd_infer(args) -> int:
         seed=args.seed,
         batch=args.batch,
     )
-    from PIL import Image
-
     for i, img in enumerate(images):
         out = args.output if args.batch == 1 else args.output.replace(
             ".png", f"_{i}.png"
@@ -141,6 +159,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     pi = sub.add_parser("infer", help="audio+text -> image")
     pi.add_argument("--audio", default=None)
+    pi.add_argument("--audio-dir", default=None,
+                    help="batch mode: run every .wav in this directory "
+                         "(reference scripts/inference.py:168-180 batch_generate)")
     pi.add_argument("--text", default=None)
     pi.add_argument("--output", default="output.png")
     pi.add_argument("--steps", type=int, default=50)

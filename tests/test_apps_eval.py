@@ -111,3 +111,59 @@ def test_run_evaluation_tiny(tmp_path):
     assert res["config"]["n"] == 2
     assert "latency_s" in res["summary"]
     assert len(res["samples"]) == 2
+
+
+def test_roberta_tokenizer_fallback():
+    from clap2diffusion_tpu.models.roberta_tokenizer import (
+        BOS, EOS, PAD, RobertaTokenizer,
+    )
+
+    tok = RobertaTokenizer()
+    out = tok(["a dog barks", ""])
+    ids, mask = out["input_ids"], out["attention_mask"]
+    assert ids.shape == (2, 77)
+    assert ids[0, 0] == BOS
+    assert EOS in ids[0]
+    assert (ids[1, 2:] == PAD).all()  # empty text -> BOS EOS PAD...
+    assert mask[0].sum() > mask[1].sum() == 2
+    np.testing.assert_array_equal(ids, tok(["a dog barks", ""])["input_ids"])
+
+
+def test_clip_tokenizer_real_bpe_path(tmp_path):
+    """Exercise the actual BPE machinery with a miniature merges file."""
+    from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer, SOT, EOT
+
+    # build a tiny merges file: version header + two merges
+    merges = "#version: 0.2\nd o\ndo g</w>\n"
+    p = tmp_path / "bpe.txt"
+    p.write_text(merges)
+    tok = CLIPTokenizer(bpe_path=str(p))
+    assert not tok.fallback
+    ids = tok("dog")[0]
+    assert ids[0] == SOT
+    # 'dog' -> merged ('do','g</w>') -> ('dog</w>') token exists in vocab
+    assert "dog</w>" in tok.encoder
+    assert ids[1] == tok.encoder["dog</w>"]
+    assert ids[2] == EOT
+
+
+def test_cli_infer_audio_dir(tmp_path):
+    import yaml
+    from clap2diffusion_tpu.apps.main import main
+    from clap2diffusion_tpu.core.config import to_dict
+    from clap2diffusion_tpu.utils.audio_io import write_wav
+    from tests.test_pipeline import tiny_config
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.safe_dump(json.loads(json.dumps(to_dict(tiny_config())))))
+    adir = tmp_path / "wavs"
+    adir.mkdir()
+    for n in ("x", "y"):
+        write_wav(str(adir / f"{n}.wav"),
+                  np.sin(np.linspace(0, 440 * np.pi, 24_000)).astype(np.float32) * 0.4,
+                  48_000)
+    out = tmp_path / "img.png"
+    rc = main(["infer", "--audio-dir", str(adir), "--text", "rain",
+               "--output", str(out), "--steps", "2", "--config", str(cfg_path)])
+    assert rc == 0
+    assert (tmp_path / "img_x.png").exists() and (tmp_path / "img_y.png").exists()
