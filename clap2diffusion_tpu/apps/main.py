@@ -94,10 +94,6 @@ def cmd_train(args) -> int:
 
     cfg = _load_cfg(args)
     params = init_params(cfg, seed=cfg.train.seed)
-    if args.restore:
-        from clap2diffusion_tpu.train.checkpoint import load_torch_checkpoint
-
-        print(f"note: restoring from {args.restore}")
     run_stage(
         cfg,
         args.stage,
@@ -106,6 +102,7 @@ def cmd_train(args) -> int:
         max_steps=args.max_steps,
         checkpoint_dir=args.checkpoint_dir or cfg.train.checkpoint_dir,
         log_dir=cfg.train.log_dir,
+        resume_from=args.restore,
     )
     return 0
 
@@ -179,7 +176,8 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--data-root", default=None)
     pt.add_argument("--max-steps", type=int, default=None)
     pt.add_argument("--checkpoint-dir", default=None)
-    pt.add_argument("--restore", default=None)
+    pt.add_argument("--restore", default=None,
+                    help="orbax checkpoint name in checkpoint-dir to resume from")
     _add_common(pt)
     pt.set_defaults(fn=cmd_train)
 

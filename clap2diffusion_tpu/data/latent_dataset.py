@@ -28,8 +28,6 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from clap2diffusion_tpu.utils.audio_io import read_wav
-
 
 class AudioCapsLatentDataset:
     def __init__(

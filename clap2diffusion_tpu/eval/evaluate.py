@@ -32,7 +32,6 @@ def run_evaluation(
 
     from clap2diffusion_tpu.data.latent_dataset import AudioCapsLatentDataset
     from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
-    from clap2diffusion_tpu.models.clap.text import ClapTextTower
     from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
 
     pipe = AudioToImagePipeline(cfg, params=params, seed=seed)

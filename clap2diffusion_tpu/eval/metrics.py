@@ -17,7 +17,7 @@ The reference's evaluator returns random numbers for every metric
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import numpy as np
 

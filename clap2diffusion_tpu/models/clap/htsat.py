@@ -31,7 +31,6 @@ import numpy as np
 from flax import linen as nn
 
 from clap2diffusion_tpu.core.config import HTSATConfig
-from clap2diffusion_tpu.ops.attention import dot_product_attention
 
 
 # ---------------------------------------------------------------------------

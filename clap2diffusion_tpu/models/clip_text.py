@@ -8,8 +8,6 @@ produces "CLIP-compatible" 77x768 tokens).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

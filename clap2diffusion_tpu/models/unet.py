@@ -24,7 +24,7 @@ Pallas flash kernel when ``cfg.flash_attention`` and shapes allow.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ reduce via XLA-inserted psum over ICI).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -28,7 +27,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from clap2diffusion_tpu.core.config import Config, StageConfig
+from clap2diffusion_tpu.core.config import Config
 from clap2diffusion_tpu.diffusion.ddim import NoiseSchedule
 from clap2diffusion_tpu.models.condition import (
     AudioAdapter,
