@@ -311,3 +311,52 @@ def load_pipeline(cfg: Config, path: str, dtype=None) -> "AudioToImagePipeline":
     if dtype is not None:
         params = jax.tree.map(lambda x: x.astype(dtype), params)
     return AudioToImagePipeline(cfg, params=params)
+
+
+def generate_sharded(
+    pipe: "AudioToImagePipeline",
+    mesh,
+    waveforms: np.ndarray,
+    text_ids: np.ndarray,
+    uncond_ids: Optional[np.ndarray] = None,
+    num_steps: int = 50,
+    guidance_scale: float = 7.5,
+    norm_target: float = 60.0,
+    model_type: str = "hierarchical",
+    seed: int = 0,
+) -> np.ndarray:
+    """Multi-chip serving: shard a batch of requests over the mesh's data
+    axis. The single jit program is sharding-agnostic (GSPMD propagates from
+    the input shardings); with B % data_axis == 0 each chip denoises its
+    slice and collectives never enter the hot loop.
+
+    Validated on the virtual 8-device CPU mesh
+    (tests/test_pipeline.py::test_generate_sharded_mesh).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    b = text_ids.shape[0]
+    if uncond_ids is None:
+        uncond_ids = np.zeros_like(text_ids)
+
+    def put(x, spec):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+    wav = put(waveforms, P("data", None))
+    tids = put(text_ids.astype(np.int32), P("data", None))
+    uids = put(uncond_ids.astype(np.int32), P("data", None))
+    with mesh:
+        img = pipe._generate_jit(
+            pipe.params,
+            wav,
+            tids,
+            uids,
+            num_steps,
+            jnp.asarray(guidance_scale, jnp.float32),
+            model_type,
+            jax.random.key(seed),
+            b,
+            jnp.asarray(norm_target, jnp.float32),
+            jnp.asarray(0.5, jnp.float32),
+        )
+    return np.asarray(img)

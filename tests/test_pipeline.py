@@ -137,3 +137,18 @@ def test_pipeline_save_load_roundtrip(tmp_path, pipe):
     a = pipe.generate(waveform=wav, num_steps=2, seed=11)
     b = pipe2.generate(waveform=wav, num_steps=2, seed=11)
     np.testing.assert_array_equal(a, b)
+
+
+def test_generate_sharded_mesh(pipe, eight_devices):
+    """Batch inference sharded over the data mesh (multi-chip serving path)."""
+    from clap2diffusion_tpu.core.mesh import make_mesh
+    from clap2diffusion_tpu.diffusion.pipeline import generate_sharded
+
+    mesh = make_mesh({"data": 8})
+    rng = np.random.default_rng(0)
+    wavs = (rng.normal(size=(8, 24_000)) * 0.1).astype(np.float32)
+    ids = np.zeros((8, 7), np.int32)
+    imgs = generate_sharded(pipe, mesh, wavs, ids, num_steps=2, seed=3)
+    assert imgs.shape == (8, 64, 64, 3)
+    # different audio per shard -> different images
+    assert np.abs(imgs[0].astype(int) - imgs[1].astype(int)).max() > 0
