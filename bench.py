@@ -19,6 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: the 50-step pipeline program is large; cache
+# hits cut repeat-bench compile time from minutes to seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 BASELINE_SECONDS = 2.0
 
 
