@@ -42,7 +42,21 @@ def cmd_infer(args) -> int:
     from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
 
     cfg = _load_cfg(args)
-    pipe = AudioToImagePipeline(cfg, seed=args.seed)
+    params = None
+    if args.dtype != "float32" or args.checkpoint:
+        from clap2diffusion_tpu.core.dtypes import DTypePolicy
+        from clap2diffusion_tpu.diffusion.pipeline import init_params
+
+        policy = DTypePolicy.from_strings("float32", args.dtype)
+        if args.checkpoint:
+            from clap2diffusion_tpu.diffusion.pipeline import load_pipeline
+
+            pipe = load_pipeline(cfg, args.checkpoint, dtype=policy.compute_dtype)
+        else:
+            params = init_params(cfg, seed=args.seed, dtype=policy.compute_dtype)
+            pipe = AudioToImagePipeline(cfg, params=params, seed=args.seed)
+    else:
+        pipe = AudioToImagePipeline(cfg, seed=args.seed)
     tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
     from PIL import Image
 
@@ -166,6 +180,12 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--seed", type=int, default=0)
     pi.add_argument("--norm", type=float, default=60.0)
     pi.add_argument("--batch", type=int, default=1)
+    pi.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="compute/param dtype (bf16 = MXU fast path)")
+    pi.add_argument("--checkpoint", default=None,
+                    help="orbax pipeline checkpoint (save_pipeline / "
+                         "tools/convert_checkpoints.py output)")
     pi.add_argument("--model-type", default="hierarchical",
                     choices=["hierarchical", "sonic", "baseline", "audio_tokens"])
     _add_common(pi)

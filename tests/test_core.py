@@ -44,3 +44,24 @@ def test_mesh_and_sharding(eight_devices):
     # 2-D mesh with a model axis
     mesh2 = make_mesh({"data": 4, "model": 2})
     assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_dtype_policy():
+    from clap2diffusion_tpu.core.dtypes import DTypePolicy
+
+    p = DTypePolicy.from_strings("float32", "bfloat16")
+    assert p.param_dtype == jnp.float32 and p.compute_dtype == jnp.bfloat16
+    assert p.cast(jnp.ones(2, jnp.float32)).dtype == jnp.bfloat16
+    assert DTypePolicy.fp32().compute_dtype == jnp.float32
+
+
+def test_key_stream():
+    from clap2diffusion_tpu.core.prng import KeyStream, split_tree
+
+    ks = KeyStream(0)
+    a, b = ks(), ks()
+    assert not jax.numpy.array_equal(jax.random.key_data(a), jax.random.key_data(b))
+    keys = list(ks.take(3))
+    assert len(keys) == 3
+    tree = split_tree(jax.random.key(1), ["x", "y"])
+    assert set(tree) == {"x", "y"}
