@@ -129,3 +129,22 @@ def test_prepare_waveform_repeatpad_and_crop():
     assert prepare_waveform(long, 48_000).shape == (480_000,)
     stereo = np.stack([np.ones(480_000), -np.ones(480_000)]).astype(np.float32)
     assert np.abs(prepare_waveform(stereo, 48_000)).max() == 0.0
+
+
+def test_audio_text_similarity_matches_torch_clap(torch_clap):
+    """Similarity math vs ClapModel's logits_per_audio (up to logit scale)."""
+    from clap2diffusion_tpu.models.clap import audio_text_similarity
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(3, 512)).astype(np.float32)
+    t = rng.normal(size=(4, 512)).astype(np.float32)
+    sim = np.asarray(audio_text_similarity(jnp.asarray(a), jnp.asarray(t)))
+    a_n = a / np.linalg.norm(a, axis=-1, keepdims=True)
+    t_n = t / np.linalg.norm(t, axis=-1, keepdims=True)
+    np.testing.assert_allclose(sim, a_n @ t_n.T, atol=1e-5)
+    # calibrated by the checkpoint's exp(logit_scale), like ClapModel.forward
+    scale = float(torch.exp(torch_clap.logit_scale_a))
+    sim_scaled = np.asarray(
+        audio_text_similarity(jnp.asarray(a), jnp.asarray(t), logit_scale=scale)
+    )
+    np.testing.assert_allclose(sim_scaled, scale * (a_n @ t_n.T), rtol=1e-5)
