@@ -144,10 +144,6 @@ class ConditionConfig:
     temperature_warmup_steps: int = 200
     temperature_anneal_steps: int = 5_000
     temperature_schedule: str = "cosine"  # or "linear"
-    # Audio injection processor (reference models/audio_attention_processor.py)
-    injection_mode: str = "add"  # 'add' (FiLM-style) or 'concat'
-    injection_bottleneck: int = 64
-    injection_max_concat_tokens: int = 4
 
 
 # ---------------------------------------------------------------------------
@@ -182,6 +178,10 @@ class UNetConfig:
     up_block_levels: Tuple[str, ...] = ("late", "late", "mid", "mid")
     mid_block_level: str = "mid"
     audio_inject: bool = True
+    # audio injection semantics (reference audio_attention_processor.py:92-109)
+    injection_mode: str = "add"  # 'add' (FiLM) | 'concat' (KV append, <=4 tok)
+    injection_bottleneck: int = 64
+    injection_max_concat_tokens: int = 4
     flash_attention: bool = True
     # rematerialize transformer/resnet blocks under autodiff (trades FLOPs
     # for HBM; jax.checkpoint) — used by the stage-2/3 training configs

@@ -211,6 +211,9 @@ class UNet2DCondition(nn.Module):
                 ctx_by_level[lvl] = AudioInjection(
                     audio_dim=cfg.cross_attention_dim,
                     hidden_dim=cfg.cross_attention_dim,
+                    bottleneck_dim=cfg.injection_bottleneck,
+                    mode=cfg.injection_mode,
+                    max_concat_tokens=cfg.injection_max_concat_tokens,
                     name=f"audio_inject_{lvl}",
                 )(encoder_hidden_states, tokens)
 

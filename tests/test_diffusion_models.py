@@ -178,3 +178,24 @@ def test_cfg_folding():
     fn2 = cfg_eps_fn(unet_apply2, ctx_c, ctx_u, guidance_scale=7.5)
     eps2 = fn2(lat, jnp.array(10))
     assert float(eps2[0, 0, 0, 0]) == pytest.approx(1.0 + 7.5 * (2.0 - 1.0))
+
+
+def test_unet_concat_injection_mode():
+    """'concat' injection (KV append, reference
+    audio_attention_processor.py:99-109) end-to-end through the UNet."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_UNET, injection_mode="concat",
+                              injection_bottleneck=8)
+    model = UNet2DCondition(cfg=cfg)
+    sample = jnp.ones((1, 16, 16, 4))
+    t = jnp.array([10])
+    ctx = jnp.ones((1, 7, 64))
+    audio = {lvl: jnp.ones((1, 10, 64)) for lvl in ("early", "mid", "late")}
+    v = model.init(jax.random.key(0), sample, t, ctx, audio)
+    out = model.apply(v, sample, t, ctx, audio)
+    assert out.shape == (1, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+    # with no audio, concat mode degrades to plain text context
+    out2 = model.apply(v, sample, t, ctx, None)
+    assert float(jnp.abs(out - out2).max()) > 0

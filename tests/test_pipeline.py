@@ -45,13 +45,13 @@ def tiny_config() -> Config:
             num_adapter_tokens=4, hierarchy_bottleneck=24, hierarchy_heads=2,
             projector_bottleneck=16, projector_heads=2, projector_layers=1,
             adapter_kv_hidden=8, adapter_self_attn_layers=1, adapter_heads=2,
-            injection_bottleneck=8,
         ),
         diffusion=DiffusionConfig(
             unet=UNetConfig(
                 block_out_channels=(16, 32, 32, 32), layers_per_block=1,
                 num_attention_heads=2, cross_attention_dim=48,
                 norm_num_groups=8, sample_size=8, flash_attention=False,
+                injection_bottleneck=8,
             ),
             vae=VAEConfig(block_out_channels=(8, 16, 16, 16),
                           norm_num_groups=4, layers_per_block=1),
