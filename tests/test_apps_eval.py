@@ -167,3 +167,56 @@ def test_cli_infer_audio_dir(tmp_path):
                "--output", str(out), "--steps", "2", "--config", str(cfg_path)])
     assert rc == 0
     assert (tmp_path / "img_x.png").exists() and (tmp_path / "img_y.png").exists()
+
+
+def test_http_server_generate(tmp_path):
+    """stdlib HTTP serving layer: health check + full generate round-trip."""
+    import base64
+    import threading
+    import urllib.request
+
+    from clap2diffusion_tpu.apps.server import InferenceService, serve
+    from clap2diffusion_tpu.utils.audio_io import write_wav
+    from tests.test_pipeline import tiny_config
+
+    service = InferenceService(cfg=tiny_config())
+    server = serve(service=service, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert r.status == 200 and r.read() == b"ok"
+
+        wav_path = tmp_path / "a.wav"
+        write_wav(str(wav_path),
+                  np.sin(np.linspace(0, 440 * np.pi, 24_000)).astype(np.float32) * 0.4,
+                  48_000)
+        req = json.dumps({
+            "audio_b64": base64.b64encode(wav_path.read_bytes()).decode(),
+            "text": "a dog barks",
+            "steps": 2,
+            "seed": 5,
+        }).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=req,
+                headers={"Content-Type": "application/json"},
+            )
+        )
+        out = json.loads(r.read())
+        assert "image_b64" in out and out["info"]["steps"] == 2
+        from PIL import Image
+        import io
+
+        img = Image.open(io.BytesIO(base64.b64decode(out["image_b64"])))
+        assert img.size == (64, 64)
+
+        # bad route -> 404, malformed body -> 500 (server keeps running)
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
