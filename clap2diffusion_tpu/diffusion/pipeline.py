@@ -197,10 +197,12 @@ class AudioToImagePipeline:
             )
             if batch > 1 and clap_emb.shape[0] == 1:
                 clap_emb = jnp.broadcast_to(clap_emb, (batch, clap_emb.shape[1]))
-        ehs_cond = self.m.clip_text.apply({"params": params["clip_text"]}, text_ids)
-        ehs_uncond = self.m.clip_text.apply(
-            {"params": params["clip_text"]}, uncond_ids
+        # one batched CLIP call for cond+uncond prompts
+        ehs_both = self.m.clip_text.apply(
+            {"params": params["clip_text"]},
+            jnp.concatenate([text_ids, uncond_ids], axis=0),
         )
+        ehs_cond, ehs_uncond = jnp.split(ehs_both, 2, axis=0)
         tokens77, routed = (
             (None, None)
             if clap_emb is None
