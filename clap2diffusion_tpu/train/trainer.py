@@ -37,10 +37,16 @@ from clap2diffusion_tpu.utils.logging import MetricLogger
 
 
 class EmbeddingFrontend:
-    """Frozen CLAP-audio + CLIP-text encoders, jitted once, batch-applied."""
+    """Frozen CLAP-audio + CLIP-text encoders, jitted once, batch-applied.
 
-    def __init__(self, cfg: Config, params: Dict):
+    With ``data_root`` set, per-sample embeddings cached by
+    tools/precompute_embeddings.py (``emb/{id}.npz``) are used instead of
+    running the towers — the frozen encoders vanish from the training path.
+    """
+
+    def __init__(self, cfg: Config, params: Dict, data_root: Optional[str] = None):
         self.cfg = cfg
+        self.emb_dir = os.path.join(data_root, "emb") if data_root else None
         clap = ClapAudioTower(cfg=cfg.clap.audio)
         clip = CLIPTextEncoder(cfg=cfg.diffusion.clip_text)
         self.tokenizer = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
@@ -63,6 +69,9 @@ class EmbeddingFrontend:
         self.encode_text = lambda ids: encode_text(self._clip_params, ids)
 
     def embed_batch(self, batch: Dict) -> Dict:
+        cached = self._load_cached(batch.get("audio_id", []))
+        if cached is not None:
+            return {**cached, "latent": jnp.asarray(batch["latent"])}
         clap = self.encode_audio(jnp.asarray(batch["audio"]))
         ids = self.tokenizer(batch["caption"])
         text_ctx, text_emb = self.encode_text(jnp.asarray(ids))
@@ -71,6 +80,21 @@ class EmbeddingFrontend:
             "latent": jnp.asarray(batch["latent"]),
             "text_ctx": text_ctx,
             "text_emb": text_emb,
+        }
+
+    def _load_cached(self, ids) -> Optional[Dict]:
+        if not self.emb_dir or not ids:
+            return None
+        rows = []
+        for sid in ids:
+            path = os.path.join(self.emb_dir, f"{sid}.npz")
+            if not os.path.exists(path):
+                return None  # any miss -> compute the whole batch fresh
+            rows.append(np.load(path))
+        return {
+            "clap": jnp.asarray(np.stack([r["clap"] for r in rows])),
+            "text_ctx": jnp.asarray(np.stack([r["text_ctx"] for r in rows])),
+            "text_emb": jnp.asarray(np.stack([r["text_emb"] for r in rows])),
         }
 
 
@@ -127,7 +151,7 @@ def run_stage(
 
         state = restore_checkpoint(checkpoint_dir, state, name=resume_from)
     state = replicate(state, mesh)  # params/opt live on the DP mesh
-    frontend = EmbeddingFrontend(cfg, params)
+    frontend = EmbeddingFrontend(cfg, params, data_root=data_root)
 
     dataset = AudioCapsLatentDataset(
         data_root,

@@ -357,3 +357,46 @@ def test_training_determinism(tiny_params):
         np.abs(np.asarray(a) - np.asarray(b)).max() > 0
         for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p3))
     )
+
+
+def test_embedding_cache_used(tmp_path, tiny_params):
+    """Precomputed emb/{id}.npz files bypass the frozen towers in training."""
+    from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
+    from clap2diffusion_tpu.train.trainer import EmbeddingFrontend
+    import sys, importlib
+
+    cfg, params = tiny_params
+    root = str(tmp_path / "ds")
+    make_fixture_dataset(root, n_train=3, n_val=0, n_test=0, duration_s=0.5,
+                         latent_hw=8)
+    sys.path.insert(0, "tools")
+    precompute = importlib.import_module("precompute_embeddings").precompute
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, duration_s=0.5)
+    )
+    n = precompute(cfg2, params, root, batch_size=2, splits=("train",))
+    assert n == 3
+
+    fe = EmbeddingFrontend(cfg2, params, data_root=root)
+    batch = {
+        "audio": np.zeros((2, int(0.5 * 48_000)), np.float32),
+        "latent": np.zeros((2, 8, 8, 4), np.float32),
+        "caption": ["a", "b"],
+        "audio_id": ["sample_00000", "sample_00001"],
+    }
+    out = fe.embed_batch(batch)
+    assert out["clap"].shape == (2, cfg.condition.clap_dim)
+    # cached values equal freshly computed ones for the same audio
+    from clap2diffusion_tpu.data.latent_dataset import AudioCapsLatentDataset
+
+    ds = AudioCapsLatentDataset(root, "train", audio_duration=0.5, latent_hw=8)
+    fresh = fe.encode_audio(jnp.asarray(ds._load_audio("sample_00000"))[None])
+    np.testing.assert_allclose(
+        np.asarray(out["clap"][0]), np.asarray(fresh[0]), atol=1e-5
+    )
+    # a cache miss falls back to fresh computation
+    batch["audio_id"] = ["sample_00000", "missing"]
+    out2 = fe.embed_batch(batch)
+    assert out2["clap"].shape == (2, cfg.condition.clap_dim)
