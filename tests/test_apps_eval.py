@@ -220,3 +220,31 @@ def test_http_server_generate(tmp_path):
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+def test_fid_from_images_with_vision_features():
+    """FID plumbing with a tiny CLIP-vision feature extractor."""
+    import jax
+    import jax.numpy as jnp
+
+    from clap2diffusion_tpu.core.config import CLIPVisionConfig
+    from clap2diffusion_tpu.eval.metrics import fid_from_images
+    from clap2diffusion_tpu.models.clip_vision import CLIPVisionEncoder, preprocess_images
+
+    cfg = CLIPVisionConfig(image_size=28, patch_size=14, hidden_size=32,
+                           num_layers=1, num_heads=2, intermediate_size=64,
+                           projection_dim=16)
+    model = CLIPVisionEncoder(cfg=cfg)
+    v = model.init(jax.random.key(0), jnp.ones((1, 28, 28, 3)))
+
+    def feature_fn(images):
+        px = preprocess_images(images, image_size=28)
+        return model.apply(v, jnp.asarray(px))
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 255, (24, 32, 32, 3), dtype=np.uint8)
+    b_same = rng.integers(0, 255, (24, 32, 32, 3), dtype=np.uint8)
+    b_shifted = np.clip(b_same.astype(int) + 120, 0, 255).astype(np.uint8)
+    near = fid_from_images(a, b_same, feature_fn, batch_size=8)
+    far = fid_from_images(a, b_shifted, feature_fn, batch_size=8)
+    assert far > near >= 0.0
