@@ -125,9 +125,14 @@ def cmd_evaluate(args) -> int:
     from clap2diffusion_tpu.eval.evaluate import run_evaluation
 
     cfg = _load_cfg(args)
+    params = None
+    if args.checkpoint:
+        from clap2diffusion_tpu.diffusion.pipeline import load_pipeline
+
+        params = load_pipeline(cfg, args.checkpoint).params
     results = run_evaluation(
         cfg, data_root=args.data_root, max_samples=args.max_samples,
-        num_steps=args.steps, seed=args.seed,
+        num_steps=args.steps, seed=args.seed, params=params,
     )
     out = args.output or "evaluation_results.json"
     with open(out, "w") as f:
@@ -207,6 +212,8 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--steps", type=int, default=50)
     pe.add_argument("--seed", type=int, default=42)
     pe.add_argument("--output", default=None)
+    pe.add_argument("--checkpoint", default=None,
+                    help="orbax pipeline checkpoint to evaluate")
     _add_common(pe)
     pe.set_defaults(fn=cmd_evaluate)
 

@@ -65,3 +65,29 @@ def test_key_stream():
     assert len(keys) == 3
     tree = split_tree(jax.random.key(1), ["x", "y"])
     assert set(tree) == {"x", "y"}
+
+
+def test_param_spec_tp_rule():
+    from jax.sharding import PartitionSpec as P
+
+    from clap2diffusion_tpu.parallel.sharding import param_spec
+
+    wide = jnp.zeros((256, 24_576))   # adapter KV head -> model-sharded
+    narrow = jnp.zeros((512, 768))
+    bias = jnp.zeros((768,))
+    assert param_spec((), wide) == P(None, "model")
+    assert param_spec((), narrow) == P()
+    assert param_spec((), bias) == P()
+    odd = jnp.zeros((16, 4097))       # non-divisible width stays replicated
+    assert param_spec((), odd) == P()
+
+
+def test_timer_and_trace(tmp_path):
+    from clap2diffusion_tpu.utils.profiling import Timer, trace_annotation
+
+    t = Timer()
+    with trace_annotation("unit"):
+        out = t.time_fn("add", lambda: jnp.ones(8) + 1, warmup=1, iters=3)
+    assert out.shape == (8,)
+    s = t.summary()
+    assert s["add"]["n"] == 3 and s["add"]["p50"] >= 0.0
