@@ -55,6 +55,9 @@ class ClapTextTower(nn.Module):
         positions = (
             jnp.cumsum(attention_mask, axis=1) * attention_mask + c.pad_token_id
         )
+        # wrap out-of-vocab ids (no-op at full vocab; keeps reduced-vocab
+        # configs finite instead of hitting jnp.take's NaN fill mode)
+        input_ids = input_ids % c.vocab_size
         tok = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")(input_ids)
         pos = nn.Embed(
             c.max_position_embeddings, c.hidden_size, name="position_embeddings"

@@ -57,6 +57,10 @@ class CLIPTextEncoder(nn.Module):
     def __call__(self, input_ids: jax.Array) -> jax.Array:
         c = self.cfg
         b, s = input_ids.shape
+        # out-of-vocab ids wrap instead of hitting jnp.take's NaN fill mode —
+        # a no-op at the real 49,408 vocab, and it keeps reduced-vocab
+        # configs (tests, distilled deployments) finite and deterministic
+        input_ids = input_ids % c.vocab_size
         tok = nn.Embed(c.vocab_size, c.hidden_size, name="token_embedding")(
             input_ids
         )

@@ -267,6 +267,9 @@ def test_run_stage1_end_to_end(tmp_path, tiny_params):
     state = run_stage(cfg, 1, params, data_root=root, max_steps=4,
                       checkpoint_dir=ckpt, log_dir=str(tmp_path / "logs"))
     assert int(state.step) == 4
+    # round-1 regression: out-of-vocab tokenizer ids silently NaN-poisoned
+    # the frozen text tower and thence every trained weight
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(state.params))
     import os
 
     assert os.path.exists(os.path.join(ckpt, "stage1_final"))
@@ -296,6 +299,7 @@ def test_run_stage2_end_to_end(tmp_path, tiny_params):
     state = run_stage(cfg, 2, params, data_root=root, max_steps=2,
                       log_dir=str(tmp_path / "logs"))
     assert int(state.step) == 2
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(state.params))
 
 
 def test_run_stage1_steps_per_call(tmp_path, tiny_params):
