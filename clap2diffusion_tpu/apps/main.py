@@ -35,6 +35,31 @@ def _load_cfg(args):
     return load_config(args.config, args.overrides)
 
 
+def _merge_stage(pipeline_params, stage_ckpt: str, use_ema: bool, dtype: str):
+    """Fold a run_stage orbax checkpoint (live or EMA weights) into the
+    pipeline param tree — the EMA-consumption path (reference
+    utils/training_utils.py:22-41 apply/restore semantics)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from clap2diffusion_tpu.train.checkpoint import (
+        merge_stage_params,
+        restore_raw,
+        stage_from_name,
+    )
+
+    path = os.path.abspath(stage_ckpt)
+    payload = restore_raw(os.path.dirname(path), os.path.basename(path))
+    return merge_stage_params(
+        pipeline_params,
+        payload,
+        stage_from_name(os.path.basename(path)),
+        use_ema=use_ema,
+        dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+    )
+
+
 def cmd_infer(args) -> int:
     import numpy as np
 
@@ -57,6 +82,12 @@ def cmd_infer(args) -> int:
             pipe = AudioToImagePipeline(cfg, params=params, seed=args.seed)
     else:
         pipe = AudioToImagePipeline(cfg, seed=args.seed)
+    if args.stage_checkpoint:
+        pipe = AudioToImagePipeline(
+            cfg,
+            params=_merge_stage(pipe.params, args.stage_checkpoint, args.ema,
+                                args.dtype),
+        )
     tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
     from PIL import Image
 
@@ -106,6 +137,14 @@ def cmd_train(args) -> int:
     from clap2diffusion_tpu.diffusion.pipeline import init_params
     from clap2diffusion_tpu.train.trainer import run_stage
 
+    if args.coordinator or args.num_processes:
+        from clap2diffusion_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed(
+            coordinator=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     cfg = _load_cfg(args)
     params = init_params(cfg, seed=cfg.train.seed)
     run_stage(
@@ -130,6 +169,11 @@ def cmd_evaluate(args) -> int:
         from clap2diffusion_tpu.diffusion.pipeline import load_pipeline
 
         params = load_pipeline(cfg, args.checkpoint).params
+    if args.stage_checkpoint:
+        from clap2diffusion_tpu.diffusion.pipeline import init_params
+
+        base = params if params is not None else init_params(cfg, seed=args.seed)
+        params = _merge_stage(base, args.stage_checkpoint, args.ema, "float32")
     results = run_evaluation(
         cfg, data_root=args.data_root, max_samples=args.max_samples,
         num_steps=args.steps, seed=args.seed, params=params,
@@ -193,6 +237,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "tools/convert_checkpoints.py output)")
     pi.add_argument("--model-type", default="hierarchical",
                     choices=["hierarchical", "sonic", "baseline", "audio_tokens"])
+    pi.add_argument("--stage-checkpoint", default=None,
+                    help="run_stage orbax checkpoint (e.g. ckpt/stage3_final) "
+                         "to fold into the pipeline before inference")
+    pi.add_argument("--ema", action="store_true",
+                    help="use the checkpoint's EMA shadow weights "
+                         "(requires train.stageN.use_ema=true at training)")
     _add_common(pi)
     pi.set_defaults(fn=cmd_infer)
 
@@ -203,6 +253,13 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--checkpoint-dir", default=None)
     pt.add_argument("--restore", default=None,
                     help="orbax checkpoint name in checkpoint-dir to resume from")
+    pt.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator address host:port "
+                         "(or set C2D_COORDINATOR)")
+    pt.add_argument("--num-processes", type=int, default=None,
+                    help="multi-host: total process count")
+    pt.add_argument("--process-id", type=int, default=None,
+                    help="multi-host: this process's rank")
     _add_common(pt)
     pt.set_defaults(fn=cmd_train)
 
@@ -214,6 +271,10 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--output", default=None)
     pe.add_argument("--checkpoint", default=None,
                     help="orbax pipeline checkpoint to evaluate")
+    pe.add_argument("--stage-checkpoint", default=None,
+                    help="run_stage orbax checkpoint to fold in before eval")
+    pe.add_argument("--ema", action="store_true",
+                    help="evaluate the EMA shadow weights")
     _add_common(pe)
     pe.set_defaults(fn=cmd_evaluate)
 

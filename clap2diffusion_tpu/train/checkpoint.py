@@ -54,6 +54,60 @@ def restore_checkpoint(ckpt_dir: str, abstract_state, name: str = "state"):
     )
 
 
+def restore_raw(ckpt_dir: str, name: str = "state") -> Dict[str, Any]:
+    """Restore a checkpoint without an abstract pytree — shapes/dtypes come
+    from the checkpoint's own metadata. This is the serving-side reader: it
+    does not need the optimizer structure that produced the state."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(ckpt_dir), name)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)
+
+
+def merge_stage_params(
+    pipeline_params: Dict[str, Any],
+    payload: Dict[str, Any],
+    stage: int,
+    use_ema: bool = False,
+    dtype=None,
+) -> Dict[str, Any]:
+    """Fold a trained stage's weights — optionally the EMA shadow weights —
+    into a full pipeline parameter tree for eval/serving.
+
+    This is the consumer of ``TrainState.ema_params`` (the reference's EMA
+    apply semantics, reference utils/training_utils.py:22-41: evaluate and
+    serve the shadow weights, keep training the live ones). Stage 1 trains
+    the bare adapter subtree; stages 2/3 train dicts of named towers that
+    merge by key.
+    """
+    src = payload.get("ema_params") if use_ema else payload["params"]
+    if src is None:
+        raise ValueError(
+            "checkpoint carries no ema_params — train with "
+            "train.stageN.use_ema=true to produce an EMA shadow"
+        )
+    if dtype is not None:
+        src = jax.tree.map(lambda x: np.asarray(x).astype(dtype), src)
+    if stage == 1:
+        return {**pipeline_params, "adapter": src}
+    return {**pipeline_params, **src}
+
+
+def stage_from_name(name: str) -> int:
+    """Parse the stage number out of a checkpoint name like
+    ``stage2_final`` / ``stage3_step500`` (the names run_stage writes)."""
+    import re
+
+    m = re.search(r"stage(\d)", name)
+    if not m:
+        raise ValueError(
+            f"cannot infer training stage from checkpoint name {name!r}; "
+            "expected a run_stage artifact like 'stage2_final'"
+        )
+    return int(m.group(1))
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a reference .pth file into plain numpy (weights_only semantics,
     matching reference scripts/inference.py:48)."""
