@@ -247,6 +247,8 @@ class DiffusionConfig:
     unet: UNetConfig = field(default_factory=UNetConfig)
     vae: VAEConfig = field(default_factory=VAEConfig)
     clip_text: CLIPTextConfig = field(default_factory=CLIPTextConfig)
+    # CLIPScore / frechet_clip_vision feature extractor (eval only)
+    clip_vision: CLIPVisionConfig = field(default_factory=CLIPVisionConfig)
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     image_size: int = 512
 
@@ -336,6 +338,9 @@ class TrainConfig:
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "logs"
     mesh_shape: Dict[str, int] = field(default_factory=lambda: {"data": -1})
+    # tensor-parallel axis size for the training mesh (1 = pure DP); wide
+    # kernels shard over it per parallel.sharding.param_spec
+    model_parallel: int = 1
     seed: int = 42
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
