@@ -5,8 +5,10 @@ The reference's evaluator loops a dataset and writes
 ``evaluation_results.json`` but every metric is a random stub
 (reference scripts/evaluate.py:19-146, :32-40). Here audio-text alignment is
 computed with the real CLAP towers and image statistics are real; CLIP-score
-and FID slots activate when their feature extractors' weights are supplied.
-Fixed eval seed 42, like the reference (:49).
+and ``frechet_clip_vision`` (generated-vs-reference-frame Frechet over CLIP
+vision features — NOT standard Inception-FID, see
+metrics.fid_from_images's naming contract) activate when the CLIP vision
+weights are supplied. Fixed eval seed 42, like the reference (:49).
 """
 
 from __future__ import annotations
@@ -53,14 +55,13 @@ def run_evaluation(
     clip_vision_apply = None
     if params and "clip_vision" in params and "clip_text_projection" in params:
         import jax
-        from clap2diffusion_tpu.core.config import CLIPVisionConfig
         from clap2diffusion_tpu.models.clip_vision import (
             CLIPVisionEncoder,
             clip_text_features,
             preprocess_images,
         )
 
-        vision = CLIPVisionEncoder(cfg=CLIPVisionConfig())
+        vision = CLIPVisionEncoder(cfg=cfg.diffusion.clip_vision)
         clip_vision_apply = jax.jit(
             lambda px: vision.apply({"params": params["clip_vision"]}, px)
         )
@@ -96,7 +97,9 @@ def run_evaluation(
         if clip_vision_apply is not None:
             ids = tok(item["caption"])
             img_feats = np.asarray(clip_vision_apply(
-                jnp.asarray(preprocess_images(img[None]))
+                jnp.asarray(preprocess_images(
+                    img[None], cfg.diffusion.clip_vision.image_size
+                ))
             ))
             txt_hidden = np.asarray(pipe.encode_text(jnp.asarray(ids)))
             txt_feats = np.asarray(clip_text_features(
@@ -109,9 +112,41 @@ def run_evaluation(
         )
 
     image_arr = np.stack(images) if images else np.zeros((0, 8, 8, 3), np.uint8)
+    summary = M.summarize(per_sample)
+
+    # Frechet distance generated-vs-reference frames over CLIP-vision
+    # features. Deliberately NOT called "fid": standard FID is
+    # InceptionV3-pool3 (see metrics.fid_from_images naming contract).
+    if clip_vision_apply is not None and n >= 2:
+        import os
+
+        from PIL import Image
+
+        from clap2diffusion_tpu.models.clip_vision import preprocess_images
+
+        frames_dir = os.path.join(data_root or cfg.data.data_root, "frames")
+        refs = []
+        for rec in records:
+            for ext in (".png", ".jpg", ".jpeg"):
+                p = os.path.join(frames_dir, rec["id"] + ext)
+                if os.path.exists(p):
+                    refs.append(np.asarray(
+                        Image.open(p).convert("RGB").resize(image_arr.shape[1:3])
+                    ))
+                    break
+        if len(refs) >= 2:
+            feature_fn = lambda imgs: np.asarray(  # noqa: E731
+                clip_vision_apply(jnp.asarray(preprocess_images(
+                    imgs, cfg.diffusion.clip_vision.image_size
+                )))
+            )
+            summary["frechet_clip_vision"] = M.fid_from_images(
+                image_arr, np.stack(refs), feature_fn
+            )
+
     return {
         "config": {"num_steps": num_steps, "seed": seed, "n": n},
         "samples": records,
-        "summary": M.summarize(per_sample),
+        "summary": summary,
         "image_stats": M.image_stats(image_arr) if n else {},
     }

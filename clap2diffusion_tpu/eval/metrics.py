@@ -93,8 +93,19 @@ def summarize(per_sample: Dict[str, list]) -> Dict[str, Dict[str, float]]:
 def fid_from_images(images_a: np.ndarray, images_b: np.ndarray,
                     feature_fn: Callable[[np.ndarray], np.ndarray],
                     batch_size: int = 16) -> float:
-    """FID between two uint8 image sets using a pluggable feature extractor
-    (e.g. the CLIP vision tower; InceptionV3 when its weights are supplied)."""
+    """Frechet distance between two uint8 image sets using a pluggable
+    feature extractor.
+
+    NAMING CONTRACT: this is *standard FID* only when ``feature_fn`` is
+    InceptionV3 pool3 (2048-d) — the extractor the literature and the
+    reference's declared ``fid_score`` (reference scripts/evaluate.py:24-30)
+    assume. This zero-egress image carries no Inception weights, so the
+    evaluator reports the metric as ``frechet_clip_vision`` (CLIP ViT
+    features), which is NOT comparable with published FID numbers. To get
+    standard FID: load InceptionV3 weights into any JAX/torch
+    implementation and pass ``feature_fn=lambda imgs: pool3(imgs)`` here —
+    the Frechet math below is extractor-agnostic and already exact.
+    """
 
     def feats(images):
         out = []
