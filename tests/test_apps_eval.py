@@ -72,6 +72,7 @@ def test_cli_prepare_fixture(tmp_path):
     assert len(meta["samples"]) == 4
 
 
+@pytest.mark.slow
 def test_cli_infer_tiny(tmp_path, monkeypatch):
     """Full CLI infer path on the tiny config via YAML."""
     import yaml
@@ -98,6 +99,7 @@ def test_cli_infer_tiny(tmp_path, monkeypatch):
     assert img.shape == (64, 64, 3)
 
 
+@pytest.mark.slow
 def test_run_evaluation_tiny(tmp_path):
     from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
     from clap2diffusion_tpu.eval.evaluate import run_evaluation
@@ -147,6 +149,7 @@ def test_clip_tokenizer_real_bpe_path(tmp_path):
     assert ids[2] == EOT
 
 
+@pytest.mark.slow
 def test_cli_infer_audio_dir(tmp_path):
     import yaml
     from clap2diffusion_tpu.apps.main import main
@@ -169,6 +172,7 @@ def test_cli_infer_audio_dir(tmp_path):
     assert (tmp_path / "img_x.png").exists() and (tmp_path / "img_y.png").exists()
 
 
+@pytest.mark.slow
 def test_http_server_generate(tmp_path):
     """stdlib HTTP serving layer: health check + full generate round-trip."""
     import base64

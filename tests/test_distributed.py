@@ -101,6 +101,7 @@ def test_two_process_training_step(tmp_path):
     assert np.isfinite(losses[0])
 
 
+@pytest.mark.slow
 def test_run_stage_tensor_parallel_reachable(tmp_path, monkeypatch):
     """cfg.train.model_parallel routes run_stage onto a (data, model) mesh
     and wide kernels actually land model-sharded (VERDICT round-1 weak #7)."""

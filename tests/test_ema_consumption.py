@@ -13,6 +13,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from clap2diffusion_tpu.core.config import apply_overrides
 from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
 from clap2diffusion_tpu.diffusion.pipeline import init_params

@@ -247,6 +247,7 @@ def test_adaptive_clip():
     assert float(jnp.linalg.norm(out2["k"])) == pytest.approx(1.0, rel=1e-3)
 
 
+@pytest.mark.slow
 def test_run_stage1_end_to_end(tmp_path, tiny_params):
     """Full trainer loop on fixture data: dataset -> embeddings -> sharded
     steps -> checkpoint -> resume."""
@@ -283,6 +284,7 @@ def test_run_stage1_end_to_end(tmp_path, tiny_params):
     assert int(state2.step) == 6
 
 
+@pytest.mark.slow
 def test_run_stage2_end_to_end(tmp_path, tiny_params):
     from clap2diffusion_tpu.core.config import apply_overrides
     from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
@@ -302,6 +304,7 @@ def test_run_stage2_end_to_end(tmp_path, tiny_params):
     assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(state.params))
 
 
+@pytest.mark.slow
 def test_run_stage1_steps_per_call(tmp_path, tiny_params):
     """Scanned multi-step training (steps_per_call>1) matches the loop shape:
     right step count, finite loss, logs written."""

@@ -27,8 +27,15 @@ import numpy as np
 
 def timed(fn, *args, iters=3):
     """Median wall time of fn(*args), synced via host transfer."""
-    outs = []
-    fn(*args)  # warmup/compile
+    for attempt in range(3):  # remote compile can drop the pipe transiently
+        try:
+            fn(*args)  # warmup/compile
+            break
+        except Exception as e:
+            if attempt == 2:
+                raise
+            print(f"  retry after: {type(e).__name__}", flush=True)
+            time.sleep(20)
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
