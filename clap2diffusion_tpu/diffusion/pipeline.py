@@ -106,6 +106,40 @@ def init_params(cfg: Config, seed: int = 0, dtype=jnp.float32) -> Dict[str, Any]
     return params
 
 
+def cached_init_params(cfg: Config, seed: int = 0, dtype=jnp.float32,
+                       cache_dir: Optional[str] = None) -> Dict[str, Any]:
+    """init_params with an on-disk orbax cache.
+
+    Random init of the full SD stack jit-compiles six programs; on a remote
+    TPU that is minutes of compile per process. Benchmarks and tools set
+    ``C2D_PARAM_CACHE`` (or pass ``cache_dir``) to pay it once. The cache key
+    covers seed/dtype/geometry; anything else falls back to a fresh init.
+    """
+    cache_dir = cache_dir or os.environ.get("C2D_PARAM_CACHE")
+    if not cache_dir:
+        return init_params(cfg, seed=seed, dtype=dtype)
+    import hashlib
+    import json
+
+    from clap2diffusion_tpu.core.config import to_dict
+
+    key = hashlib.sha256(
+        json.dumps([to_dict(cfg), seed, str(jnp.dtype(dtype))],
+                   sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+    path = os.path.join(os.path.abspath(cache_dir), f"params_{key}")
+    if os.path.exists(path):
+        import orbax.checkpoint as ocp
+
+        abstract = jax.eval_shape(
+            lambda: init_params(cfg, seed=seed, dtype=dtype)
+        )
+        return ocp.StandardCheckpointer().restore(path, abstract)
+    params = init_params(cfg, seed=seed, dtype=dtype)
+    save_pipeline(path, params)
+    return params
+
+
 class AudioToImagePipeline:
     """Host-facing pipeline. Heavy math is jit-cached per static signature.
 

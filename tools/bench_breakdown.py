@@ -19,7 +19,7 @@ import numpy as np
 
 def main():
     from clap2diffusion_tpu.core.config import Config
-    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline, init_params
+    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline, cached_init_params as init_params
     from clap2diffusion_tpu.utils.profiling import Timer
 
     cfg = Config()

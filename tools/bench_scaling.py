@@ -72,7 +72,7 @@ def chained(label, make_step, k=12, iters=3):
 
 def main():
     from clap2diffusion_tpu.core.config import Config
-    from clap2diffusion_tpu.diffusion.pipeline import init_params
+    from clap2diffusion_tpu.diffusion.pipeline import cached_init_params as init_params
     from clap2diffusion_tpu.models.unet import UNet2DCondition
     from clap2diffusion_tpu.models.vae import AutoencoderKL
     from clap2diffusion_tpu.models.clap.frontend import log_mel_spectrogram
