@@ -12,6 +12,7 @@ Prints ONE JSON line. Extra diagnostics go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -33,13 +34,20 @@ def log(*a):
 
 def main():
     from clap2diffusion_tpu.core.config import Config
-    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline, init_params
+    from clap2diffusion_tpu.diffusion.pipeline import (
+        AudioToImagePipeline,
+        cached_init_params,
+    )
 
     cfg = Config()
     log(f"devices: {jax.devices()}")
 
     t0 = time.time()
-    params = init_params(cfg, seed=0, dtype=jnp.bfloat16)
+    params = cached_init_params(
+        cfg, seed=0, dtype=jnp.bfloat16,
+        cache_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".cache", "params"),
+    )
     pipe = AudioToImagePipeline(cfg, params=params)
     log(f"init_params: {time.time() - t0:.1f}s")
 

@@ -9,6 +9,7 @@ self-attention over 64x64=4096 latent positions) on TPU; tiny sequences
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -80,7 +81,29 @@ def mha(
     mask: Optional[jax.Array] = None,
     use_flash: bool = False,
 ) -> jax.Array:
-    """Attention over [B, S, D] projections, splitting/merging heads."""
+    """Attention over [B, S, D] projections, splitting/merging heads.
+
+    When the head-packed Pallas kernel applies (small head dim, long
+    self-attention, TPU), the [B, H, S, Dh] transposes are skipped entirely:
+    heads stay as contiguous feature blocks of the projection layout.
+    """
+    d = q.shape[-1] // num_heads
+    if (
+        use_flash
+        and mask is None
+        and 128 // d >= 2
+        and num_heads >= 2
+        and q.shape[1] >= 1024
+        and q.shape[1] == k.shape[1]
+        and jax.default_backend() in ("tpu", "axon")
+        and os.environ.get("C2D_NO_PACKED_FLASH") != "1"
+    ):
+        from clap2diffusion_tpu.ops.flash_attention import packed_flash_nhd
+
+        return packed_flash_nhd(
+            q, k, v, num_heads, min(128 // d, num_heads),
+            float(d**-0.5 if scale is None else scale),
+        )
     out = dot_product_attention(
         split_heads(q, num_heads),
         split_heads(k, num_heads),

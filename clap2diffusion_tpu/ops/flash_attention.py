@@ -18,6 +18,7 @@ optimization.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +60,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    pack = 128 // d
+    if (
+        pack >= 2
+        and h >= 2
+        and sq >= 1024
+        and sq == sk
+        and os.environ.get("C2D_NO_PACKED_FLASH") != "1"
+    ):
+        return _packed_flash_fwd(q, k, v, scale, min(pack, h))
+    return _flash_fwd_perhead(q, k, v, scale)
+
+
+def _flash_fwd_perhead(q: jax.Array, k: jax.Array, v: jax.Array,
+                       scale: float) -> jax.Array:
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
     dp = int(np.ceil(d / 128) * 128)
     block_q = min(DEFAULT_BLOCK_Q, sq)
 
@@ -94,6 +111,244 @@ def _xla_attention(q, k, v, scale):
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+# -- head-packed forward (small head dims) -----------------------------------
+#
+# The MXU contracts 128 deep; a d=40 head uses 40/128 of that on Q.K^T and
+# 40/128 of the output lanes on P.V — a 3.2x tax on the UNet's hottest
+# attention (8 heads of 40 at 4096 tokens, SD v1.5 level 0). Packing
+# pack=3 heads per kernel instance fixes both ends: queries concatenate on
+# the feature axis ([Bq, 120]) and K/V become block-diagonal over
+# (head-feature, head-sequence) so one [Bq,120] x [120, 3S] matmul computes
+# all three heads' logits with zero cross-head terms, and one
+# [Bq, 3S] x [3S, 120] matmul their outputs. Softmax is segmented per head
+# via a [Bq, 3, S] view. Ghost heads (H not divisible by pack) are zero
+# K/V/Q: their softmax is uniform, their PV is zero, and they are sliced
+# away on unpack.
+
+
+def _packed_fwd_kernel(q_ref, kbd_ref, vbd_ref, o_ref, *, scale: float,
+                       pack: int, sk: int, d: int):
+    q = q_ref[0]  # [Bq, Dpad] (pack*d useful lanes, then zero padding)
+    kbd = kbd_ref[0]  # [pack*S, Dpad] block-diagonal
+    vbd = vbd_ref[0]
+    logits = (
+        jax.lax.dot_general(
+            q, kbd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # [Bq, pack*S]
+    bq = logits.shape[0]
+    seg = logits.reshape(bq, pack, sk)
+    m = jnp.max(seg, axis=-1, keepdims=True)  # per-head max
+    p = jnp.exp(seg - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)  # [Bq, pack, 1]
+    pv = jnp.dot(
+        p.reshape(bq, pack * sk).astype(vbd.dtype), vbd,
+        preferred_element_type=jnp.float32,
+    )  # [Bq, Dpad]
+    # normalize per head: each head's denom covers its own d lanes; the
+    # trailing Dpad - pack*d padding lanes are zero in pv (divide by 1).
+    dpad = q.shape[-1]
+    dcols = jnp.broadcast_to(denom, (bq, pack, d)).reshape(bq, pack * d)
+    if dpad > pack * d:
+        dcols = jnp.concatenate(
+            [dcols, jnp.ones((bq, dpad - pack * d), jnp.float32)], axis=-1
+        )
+    o_ref[0] = (pv / dcols).astype(o_ref.dtype)
+
+
+def _packed_flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                      pack: int) -> jax.Array:
+    """Forward attention with ``pack`` heads fused per kernel instance.
+
+    Requires pack*d <= 128. [B, H, S, D] -> [B, H, S, D].
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    groups = -(-h // pack)
+    hp = groups * pack
+    dp = pack * d  # packed feature width; padded to 128 below if needed
+
+    def pad_heads(x):
+        if hp == h:
+            return x
+        return jnp.pad(x, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+
+    qg = pad_heads(q).reshape(b, groups, pack, sq, d)
+    kg = pad_heads(k).reshape(b, groups, pack, sk, d)
+    vg = pad_heads(v).reshape(b, groups, pack, sk, d)
+
+    # queries: concat pack heads on the feature axis -> [b*g, sq, pack*d]
+    qp = qg.transpose(0, 1, 3, 2, 4).reshape(b * groups, sq, dp)
+
+    # K/V: block-diagonal [b*g, pack*sk, pack*d]; head i occupies rows
+    # [i*sk:(i+1)*sk] and cols [i*d:(i+1)*d]
+    def blockdiag(x):  # x: [b, g, pack, sk, d]
+        parts = [
+            jnp.pad(x[:, :, i], ((0, 0), (0, 0), (0, 0), (i * d, dp - (i + 1) * d)))
+            for i in range(pack)
+        ]
+        return jnp.concatenate(parts, axis=2).reshape(b * groups, pack * sk, dp)
+
+    kbd = blockdiag(kg)
+    vbd = blockdiag(vg)
+
+    dpad = int(np.ceil(dp / 128) * 128)
+    qp = _pad_to(qp, dpad, 2)
+    kbd = _pad_to(kbd, dpad, 2)
+    vbd = _pad_to(vbd, dpad, 2)
+
+    block_q = min(128, sq)
+    grid = (b * groups, pl.cdiv(sq, block_q))
+    out = pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, scale=scale, pack=pack, sk=sk, d=d),
+        out_shape=jax.ShapeDtypeStruct((b * groups, sq, dpad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dpad), lambda bg, i: (bg, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pack * sk, dpad), lambda bg, i: (bg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pack * sk, dpad), lambda bg, i: (bg, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dpad), lambda bg, i: (bg, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * groups * sq * pack * sk * dpad,
+            bytes_accessed=(b * groups * (sq + 4 * pack * sk) * dpad)
+            * q.dtype.itemsize,
+            transcendentals=b * groups * sq * pack * sk,
+        ),
+    )(qp, kbd, vbd)
+
+    # unpack: [b*g, sq, pack*d] -> [b, h, sq, d]
+    out = out[:, :, :dp].reshape(b, groups, sq, pack, d)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(b, hp, sq, d)
+    return out[:, :h]
+
+
+# -- transpose-free packed attention on [B, S, H*D] --------------------------
+#
+# In the projection layout [B, S, H*D] the heads are already contiguous
+# feature blocks — exactly the packed-query layout the kernel wants. Entering
+# attention without ever materializing [B, H, S, D] avoids two minor-dim-40
+# relayouts per tensor (split_heads + merge_heads), which measure as a large
+# share of the 4096-token transformer block on TPU.
+
+
+def _nhd_packed_inputs(q, k, v, h: int, pack: int):
+    b, s, hd = q.shape
+    d = hd // h
+    groups = -(-h // pack)
+    dp = pack * d
+    dpad = int(np.ceil(dp / 128) * 128)
+
+    def group_slices(x):
+        """[B, S, H*D] -> [B*G, S, dpad]: each group's pack*d lanes, padded."""
+        outs = []
+        for g in range(groups):
+            lo = g * dp
+            hi = min((g + 1) * dp, hd)
+            sl = jax.lax.slice_in_dim(x, lo, hi, axis=2)
+            outs.append(_pad_to(sl, dpad, 2))
+        return jnp.concatenate([o[:, None] for o in outs], axis=1).reshape(
+            b * groups, s, dpad
+        )
+
+    def blockdiag(x):
+        """[B, S, H*D] -> [B*G, pack*S, dpad] block-diagonal K/V."""
+        gouts = []
+        for g in range(groups):
+            parts = []
+            for i in range(pack):
+                hidx = g * pack + i
+                if hidx < h:
+                    sl = jax.lax.slice_in_dim(x, hidx * d, (hidx + 1) * d, axis=2)
+                else:
+                    sl = jnp.zeros((b, s, d), x.dtype)
+                parts.append(
+                    jnp.pad(sl, ((0, 0), (0, 0), (i * d, dpad - (i + 1) * d)))
+                )
+            gouts.append(jnp.concatenate(parts, axis=1))  # [B, pack*S, dpad]
+        return jnp.concatenate([o[:, None] for o in gouts], axis=1).reshape(
+            b * groups, pack * s, dpad
+        )
+
+    return group_slices(q), blockdiag(k), blockdiag(v), groups, d, dp, dpad
+
+
+def _packed_flash_nhd_fwd(q, k, v, h: int, pack: int, scale: float):
+    b, s, hd = q.shape
+    qp, kbd, vbd, groups, d, dp, dpad = _nhd_packed_inputs(q, k, v, h, pack)
+
+    block_q = min(128, s)
+    grid = (b * groups, pl.cdiv(s, block_q))
+    out = pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, scale=scale, pack=pack, sk=s, d=d),
+        out_shape=jax.ShapeDtypeStruct((b * groups, s, dpad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dpad), lambda bg, i: (bg, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pack * s, dpad), lambda bg, i: (bg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pack * s, dpad), lambda bg, i: (bg, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dpad), lambda bg, i: (bg, i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * groups * s * pack * s * dpad,
+            bytes_accessed=(b * groups * (s + 4 * pack * s) * dpad)
+            * q.dtype.itemsize,
+            transcendentals=b * groups * s * pack * s,
+        ),
+    )(qp, kbd, vbd)
+
+    # [B*G, S, dpad] -> [B, S, H*D]: concat each group's useful lanes
+    out = out.reshape(b, groups, s, dpad)
+    parts = []
+    for g in range(groups):
+        useful = min(dp, hd - g * dp)
+        parts.append(jax.lax.slice_in_dim(out[:, g], 0, useful, axis=2))
+    return jnp.concatenate(parts, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def packed_flash_nhd(q, k, v, h: int, pack: int, scale: float):
+    """Self-attention on [B, S, H*D] tensors without head transposes.
+
+    Forward runs the head-packed Pallas kernel; backward recomputes through
+    the per-head flash backward kernel (numerically identical attention).
+    """
+    return _packed_flash_nhd_fwd(q, k, v, h, pack, scale)
+
+
+def _nhd_vjp_fwd(q, k, v, h, pack, scale):
+    return _packed_flash_nhd_fwd(q, k, v, h, pack, scale), (q, k, v)
+
+
+def _nhd_vjp_bwd(h, pack, scale, residuals, g):
+    q, k, v = residuals
+    b, s, hd = q.shape
+    d = hd // h
+
+    def to_bhsd(x):
+        return x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    def to_nhd(x):
+        return x.transpose(0, 2, 1, 3).reshape(b, s, hd)
+
+    dq, dk, dv = _flash_bwd(
+        to_bhsd(q), to_bhsd(k), to_bhsd(v), to_bhsd(g), scale
+    )
+    return to_nhd(dq), to_nhd(dk), to_nhd(dv)
+
+
+packed_flash_nhd.defvjp(_nhd_vjp_fwd, _nhd_vjp_bwd)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):

@@ -38,6 +38,29 @@ def test_flash_forward_matches_xla_interpret(monkeypatch, d):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("h,d", [(8, 40), (5, 40), (8, 64), (4, 32)])
+def test_packed_flash_matches_xla_interpret(monkeypatch, h, d):
+    """Head-packed forward (block-diagonal K/V, segmented softmax) vs XLA,
+    including ghost-head remainders (h=5 with pack=3)."""
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", interp)
+
+    q = jax.random.normal(jax.random.key(0), (2, h, 512, d))
+    k = jax.random.normal(jax.random.key(1), (2, h, 512, d))
+    v = jax.random.normal(jax.random.key(2), (2, h, 512, d))
+    scale = d**-0.5
+    ours = fa._packed_flash_fwd(q, k, v, scale, min(128 // d, h))
+    ref = _xla_ref(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
 def test_flash_vjp_matches_xla_grad(monkeypatch):
     import jax.experimental.pallas as pl
 
