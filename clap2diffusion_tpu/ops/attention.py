@@ -83,9 +83,12 @@ def mha(
 ) -> jax.Array:
     """Attention over [B, S, D] projections, splitting/merging heads.
 
-    When the head-packed Pallas kernel applies (small head dim, long
-    self-attention, TPU), the [B, H, S, Dh] transposes are skipped entirely:
-    heads stay as contiguous feature blocks of the projection layout.
+    With ``C2D_PACKED_FLASH=1`` and the head-packed Pallas kernel applicable
+    (small head dim, long self-attention, TPU), the [B, H, S, Dh] transposes
+    are skipped entirely: heads stay as contiguous feature blocks of the
+    projection layout. Off by default: the full-pipeline A/B on v5e measured
+    per-head faster end-to-end (1.328 s vs 1.352 s p50) despite the packed
+    kernel's better standalone MXU utilization.
     """
     d = q.shape[-1] // num_heads
     if (
@@ -96,7 +99,7 @@ def mha(
         and q.shape[1] >= 1024
         and q.shape[1] == k.shape[1]
         and jax.default_backend() in ("tpu", "axon")
-        and os.environ.get("C2D_NO_PACKED_FLASH") != "1"
+        and os.environ.get("C2D_PACKED_FLASH") == "1"
     ):
         from clap2diffusion_tpu.ops.flash_attention import packed_flash_nhd
 

@@ -66,7 +66,7 @@ def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Ar
         and h >= 2
         and sq >= 1024
         and sq == sk
-        and os.environ.get("C2D_NO_PACKED_FLASH") != "1"
+        and os.environ.get("C2D_PACKED_FLASH") == "1"
     ):
         return _packed_flash_fwd(q, k, v, scale, min(pack, h))
     return _flash_fwd_perhead(q, k, v, scale)
@@ -139,24 +139,23 @@ def _packed_fwd_kernel(q_ref, kbd_ref, vbd_ref, o_ref, *, scale: float,
         )
         * scale
     )  # [Bq, pack*S]
-    bq = logits.shape[0]
-    seg = logits.reshape(bq, pack, sk)
-    m = jnp.max(seg, axis=-1, keepdims=True)  # per-head max
-    p = jnp.exp(seg - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)  # [Bq, pack, 1]
+    # Segmented softmax via ALIGNED lane slices (S is a multiple of 128), not
+    # a [Bq, pack, S] reshape — Mosaic implements lane-dim shape casts as
+    # slow relayouts, measured 3x the whole kernel's budget. Normalization
+    # happens before the PV matmul because the per-head denominators cannot
+    # be mapped onto the packed d-lane output blocks without such a cast.
+    parts = []
+    for i in range(pack):
+        seg = jax.lax.slice_in_dim(logits, i * sk, (i + 1) * sk, axis=1)
+        m = jnp.max(seg, axis=-1, keepdims=True)
+        p = jnp.exp(seg - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        parts.append(p * pl.reciprocal(denom, approx=False))
+    pn = jnp.concatenate(parts, axis=-1)  # [Bq, pack*S]
     pv = jnp.dot(
-        p.reshape(bq, pack * sk).astype(vbd.dtype), vbd,
-        preferred_element_type=jnp.float32,
+        pn.astype(vbd.dtype), vbd, preferred_element_type=jnp.float32
     )  # [Bq, Dpad]
-    # normalize per head: each head's denom covers its own d lanes; the
-    # trailing Dpad - pack*d padding lanes are zero in pv (divide by 1).
-    dpad = q.shape[-1]
-    dcols = jnp.broadcast_to(denom, (bq, pack, d)).reshape(bq, pack * d)
-    if dpad > pack * d:
-        dcols = jnp.concatenate(
-            [dcols, jnp.ones((bq, dpad - pack * d), jnp.float32)], axis=-1
-        )
-    o_ref[0] = (pv / dcols).astype(o_ref.dtype)
+    o_ref[0] = pv.astype(o_ref.dtype)
 
 
 def _packed_flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
@@ -221,6 +220,9 @@ def _packed_flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
             bytes_accessed=(b * groups * (sq + 4 * pack * sk) * dpad)
             * q.dtype.itemsize,
             transcendentals=b * groups * sq * pack * sk,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(qp, kbd, vbd)
 
@@ -305,6 +307,9 @@ def _packed_flash_nhd_fwd(q, k, v, h: int, pack: int, scale: float):
             bytes_accessed=(b * groups * (s + 4 * pack * s) * dpad)
             * q.dtype.itemsize,
             transcendentals=b * groups * s * pack * s,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(qp, kbd, vbd)
 
