@@ -65,6 +65,7 @@ def test_bicubic_matrix_matches_torch_interpolate():
     np.testing.assert_allclose(ours, theirs, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_audio_tower_parity_full_geometry(torch_clap):
     sd = torch_clap.state_dict()
     audio_params, text_params, extras = convert_clap(sd)

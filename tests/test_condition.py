@@ -56,6 +56,7 @@ def test_encoder_shapes_and_param_parity(encoder_vars):
     assert n_params(p) == 3_840_766
 
 
+@pytest.mark.slow
 def test_legacy_v4_param_parity():
     model = HierarchicalAudioV4(cfg=CFG)
     v = model.init(jax.random.key(0), jnp.ones((1, 512)))

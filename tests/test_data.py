@@ -120,6 +120,7 @@ def test_prefetch_loader(fixture_root):
     assert any(b["audio_id"] != o["audio_id"] for b, o in zip(batches, other))
 
 
+@pytest.mark.slow
 def test_encode_latents_tool(tmp_path):
     from PIL import Image
 

@@ -49,6 +49,7 @@ def n_params_abstract(model, *args, method=None):
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes))
 
 
+@pytest.mark.slow
 def test_tiny_unet_forward_with_audio():
     model = UNet2DCondition(cfg=TINY_UNET)
     sample = jnp.ones((2, 16, 16, 4))
@@ -92,6 +93,7 @@ def test_full_clip_text_param_parity():
     assert n == 123_060_480  # openai/clip-vit-large-patch14 text tower
 
 
+@pytest.mark.slow
 def test_tiny_vae_roundtrip_shapes():
     model = AutoencoderKL(cfg=TINY_VAE)
     x = jnp.ones((1, 32, 32, 3))
@@ -180,6 +182,7 @@ def test_cfg_folding():
     assert float(eps2[0, 0, 0, 0]) == pytest.approx(1.0 + 7.5 * (2.0 - 1.0))
 
 
+@pytest.mark.slow
 def test_unet_concat_injection_mode():
     """'concat' injection (KV append, reference
     audio_attention_processor.py:99-109) end-to-end through the UNet."""

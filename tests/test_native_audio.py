@@ -29,6 +29,7 @@ def build_native():
     native_audio._LIB = None
 
 
+@pytest.mark.slow
 def test_resampler_preserves_amplitude_and_frequency():
     sr_in, sr_out = 44_100, 48_000
     t = np.arange(sr_in) / sr_in
@@ -39,6 +40,7 @@ def test_resampler_preserves_amplitude_and_frequency():
     assert abs(zc - 220) <= 2  # 440 Hz -> 220 cycles in 0.5 s
 
 
+@pytest.mark.slow
 def test_native_matches_numpy(tmp_path):
     sr_in, sr_out = 44_100, 48_000
     t = np.arange(sr_in) / sr_in

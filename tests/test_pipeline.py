@@ -5,6 +5,11 @@ Also checks seed determinism (same seed => bitwise-identical image)."""
 import numpy as np
 import pytest
 
+# Whole-module slow: the shared `pipe` fixture compiles the full (tiny)
+# generate program, minutes of XLA:CPU work on the 1-core CI host. The fast
+# gate's pipeline coverage is __graft_entry__.dryrun_multichip (train+serve).
+pytestmark = pytest.mark.slow
+
 from clap2diffusion_tpu.core.config import (
     AudioFrontendConfig,
     CLAPConfig,

@@ -24,6 +24,7 @@ from clap2diffusion_tpu.models.unet import UNet2DCondition
 from clap2diffusion_tpu.models.vae import AutoencoderKL
 
 
+@pytest.mark.slow
 def test_clip_text_parity_full_geometry():
     from transformers import CLIPTextConfig as HFCfg, CLIPTextModel
 
@@ -242,6 +243,7 @@ def test_vae_converter_structural_match():
     assert _tree_shapes(converted) == _tree_shapes(ref)
 
 
+@pytest.mark.slow
 def test_clip_vision_parity_full_geometry():
     """Full ViT-L/14 vision tower vs a randomly initialized transformers
     CLIPVisionModelWithProjection."""

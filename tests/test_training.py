@@ -108,6 +108,7 @@ def tiny_params():
     return cfg, init_params(cfg, seed=0)
 
 
+@pytest.mark.slow
 def test_stage1_step_runs_and_descends(tiny_params):
     cfg, params = tiny_params
     from clap2diffusion_tpu.core.config import apply_overrides
@@ -140,6 +141,7 @@ def test_stage1_step_runs_and_descends(tiny_params):
     assert after < before  # optimizes on a fixed batch (deterministic eval)
 
 
+@pytest.mark.slow
 def test_stage2_step_dp_on_mesh(tiny_params, eight_devices):
     cfg, params = tiny_params
     from clap2diffusion_tpu.core.config import apply_overrides
@@ -173,6 +175,7 @@ def test_stage2_step_dp_on_mesh(tiny_params, eight_devices):
     assert np.abs(np.asarray(inj_a) - np.asarray(inj_b)).max() > 0
 
 
+@pytest.mark.slow
 def test_stage3_step_trains_only_output_layers(tiny_params):
     cfg, params = tiny_params
     step_fn, init_tx, _ = make_stage3_step(cfg)
@@ -326,6 +329,7 @@ def test_run_stage1_steps_per_call(tmp_path, tiny_params):
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_tensor_parallel_axis_on_mesh(eight_devices):
     """Wide kernels shard over the model axis; stage-3 step runs on a 4x2
     (data, model) mesh — the dryrun_multichip path as a pytest."""
