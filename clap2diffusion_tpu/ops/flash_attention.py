@@ -103,6 +103,12 @@ def _flash_fwd_perhead(q: jax.Array, k: jax.Array, v: jax.Array,
             bytes_accessed=(b * h * (sq + 2 * sk) * dp) * q.dtype.itemsize,
             transcendentals=b * h * sq * sk,
         ),
+        # fp32 training at batch>=4 needs ~17MB scoped (K/V resident +
+        # [block_q, S] probs + double buffering) vs the 16MB default;
+        # v5e/v5p have 128MB physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(qm, km, vm)
     return out[:, :, :d].reshape(b, h, sq, d)
 
@@ -440,6 +446,9 @@ def _flash_bwd(q, k, v, do, scale: float):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sk, dp), lambda bh, i: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(qm, km, vm, dom)
 

@@ -117,6 +117,27 @@ def _sample_noising(schedule: NoiseSchedule, latents, rng):
     return noisy, noise, t
 
 
+def _compute_cast(cfg: Config):
+    """Mixed-precision policy for the UNet-in-the-loop stages.
+
+    Master params and the optimizer state stay float32; the UNet forward
+    (and thus its backward) runs in ``cfg.train.compute_dtype`` — bf16 by
+    default, the MXU's native high-throughput dtype. ``astype``'s vjp casts
+    gradients back to float32, so the update path is unchanged. Losses are
+    computed in float32.
+    """
+    cdt = jnp.dtype(cfg.train.compute_dtype)
+
+    def cast(tree):
+        return jax.tree.map(
+            lambda x: x.astype(cdt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
+
+    return cast
+
+
 def make_stage2_step(cfg: Config):
     """Joint hierarchical-encoder + UNet-injection training.
 
@@ -129,6 +150,7 @@ def make_stage2_step(cfg: Config):
     schedule = NoiseSchedule.create(cfg.diffusion.scheduler)
     scfg = cfg.train.stage2
     trainable = path_matcher("decomposer", "projector", "audio_inject")
+    cast = _compute_cast(cfg)
 
     def init_tx(params):
         return make_optimizer(scfg, trainable=trainable, params=params)
@@ -145,11 +167,11 @@ def make_stage2_step(cfg: Config):
             )
             noisy, noise, t = _sample_noising(schedule, batch["latent"], rng_noise)
             eps = unet.apply(
-                {"params": params["unet"]}, noisy, t,
-                batch["text_ctx"], info["routed"],
+                {"params": cast(params["unet"])}, cast(noisy), t,
+                cast(batch["text_ctx"]), cast(info["routed"]),
             )
             losses = {
-                "diffusion": L.diffusion_mse(eps, noise),
+                "diffusion": L.diffusion_mse(eps.astype(jnp.float32), noise),
                 "orthogonality": info["losses"]["orthogonality"],
                 "entropy": info["losses"]["entropy"],
                 "prior": info["losses"]["prior"],
@@ -180,6 +202,7 @@ def make_stage3_step(cfg: Config):
     schedule = NoiseSchedule.create(cfg.diffusion.scheduler)
     scfg = cfg.train.stage3
     norm_target = cfg.condition.audio_norm_target
+    cast = _compute_cast(cfg)
 
     def trainable(path: tuple) -> bool:
         joined = "/".join(path)
@@ -210,10 +233,11 @@ def make_stage3_step(cfg: Config):
             }
             noisy, noise, t = _sample_noising(schedule, batch["latent"], rng_noise)
             eps = unet.apply(
-                {"params": params["unet"]}, noisy, t, batch["text_ctx"], routed
+                {"params": cast(params["unet"])}, cast(noisy), t,
+                cast(batch["text_ctx"]), cast(routed)
             )
             losses = {
-                "diffusion": L.diffusion_mse(eps, noise),
+                "diffusion": L.diffusion_mse(eps.astype(jnp.float32), noise),
                 "consistency": L.consistency_loss(info["routed"]),
                 "alignment": L.alignment_loss(adapter_tokens, batch["text_emb"]),
             }

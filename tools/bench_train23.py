@@ -27,7 +27,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
-def bench_stage(stage: int, flash: bool, remat: bool, quick: bool) -> None:
+def bench_stage(stage: int, flash: bool, remat: bool, quick: bool,
+                dtype: str = "float32") -> None:
     from clap2diffusion_tpu.core.config import Config, apply_overrides
     from clap2diffusion_tpu.train.stages import (
         TrainState,
@@ -40,6 +41,7 @@ def bench_stage(stage: int, flash: bool, remat: bool, quick: bool) -> None:
         [
             f"diffusion.unet.flash_attention={flash}",
             f"diffusion.unet.remat={remat}",
+            f"train.compute_dtype={dtype}",
             # measure the raw step (MultiSteps accumulation just averages)
             f"train.stage{stage}.grad_accum=1",
         ],
@@ -113,7 +115,8 @@ def bench_stage(stage: int, flash: bool, remat: bool, quick: bool) -> None:
     dt = time.perf_counter() - t0
     iters = chunks * K
     print(
-        f"stage{stage} bs={bs} flash={int(flash)} remat={int(remat)}: "
+        f"stage{stage} bs={bs} flash={int(flash)} remat={int(remat)} "
+        f"{dtype}: "
         f"{iters/dt:.2f} steps/s ({dt/iters*1000:.0f} ms/step, "
         f"{iters*bs/dt:.1f} samples/s) loss={float(losses[-1]):.4f} "
         f"[compile {compile_s:.0f}s]",
@@ -123,6 +126,12 @@ def bench_stage(stage: int, flash: bool, remat: bool, quick: bool) -> None:
 
 def main():
     quick = "--quick" in sys.argv
+    if "--bf16" in sys.argv:
+        # the default mixed-precision policy (train.compute_dtype=bfloat16)
+        bench_stage(2, flash=True, remat=False, quick=quick, dtype="bfloat16")
+        bench_stage(2, flash=True, remat=True, quick=quick, dtype="bfloat16")
+        bench_stage(3, flash=True, remat=False, quick=quick, dtype="bfloat16")
+        return
     # stage2 is the real cost (UNet fwd+bwd); A/B flash bwd and remat there
     bench_stage(2, flash=True, remat=False, quick=quick)
     bench_stage(2, flash=False, remat=False, quick=quick)
