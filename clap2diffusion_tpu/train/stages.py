@@ -37,7 +37,11 @@ from clap2diffusion_tpu.models.condition import (
 from clap2diffusion_tpu.models.unet import UNet2DCondition
 from clap2diffusion_tpu.ops.token_norm import rescale_to_norm
 from clap2diffusion_tpu.train import losses as L
-from clap2diffusion_tpu.train.optim import make_optimizer, path_matcher
+from clap2diffusion_tpu.train.optim import (
+    _path_strings,
+    make_optimizer,
+    path_matcher,
+)
 
 
 @struct.dataclass
@@ -117,6 +121,24 @@ def _sample_noising(schedule: NoiseSchedule, latents, rng):
     return noisy, noise, t
 
 
+def _stop_frozen(params, trainable):
+    """``stop_gradient`` on every leaf the stage does not train.
+
+    The optimizer mask (optax.multi_transform) already zeroes frozen
+    *updates*, but autodiff still pays for the frozen weight-gradients —
+    in stage 2/3 that is dW for the whole ~860M-param frozen UNet body,
+    roughly a third of the step's FLOPs. Stopping gradients at the leaves
+    lets XLA drop those dW contractions entirely while activation
+    gradients (needed to reach the trainable injection/projector params)
+    still flow.
+    """
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: x if trainable(_path_strings(path))
+        else jax.lax.stop_gradient(x),
+        params,
+    )
+
+
 def _compute_cast(cfg: Config):
     """Mixed-precision policy for the UNet-in-the-loop stages.
 
@@ -160,6 +182,7 @@ def make_stage2_step(cfg: Config):
         rng_d, rng_noise = jax.random.split(rng)
 
         def loss_fn(params):
+            params = _stop_frozen(params, trainable)
             _, info = hier.apply(
                 {"params": params["hierarchical"]},
                 batch["clap"], temperature, return_all=True,
@@ -218,6 +241,7 @@ def make_stage3_step(cfg: Config):
         rng_d, rng_noise = jax.random.split(rng)
 
         def loss_fn(params):
+            params = _stop_frozen(params, trainable)
             adapter_tokens = adapter.apply(
                 {"params": params["adapter"]}, batch["clap"]
             )
