@@ -33,7 +33,7 @@ from flax import linen as nn
 from clap2diffusion_tpu.core.config import UNetConfig
 from clap2diffusion_tpu.models.condition.inject import AudioInjection
 from clap2diffusion_tpu.ops.attention import mha
-from clap2diffusion_tpu.ops.groupnorm import GroupNormSiLU
+from clap2diffusion_tpu.ops.groupnorm import GroupNorm, GroupNormSiLU
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10_000.0) -> jax.Array:
@@ -143,7 +143,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         residual = x
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm")(x)
+        x = GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm")(x)
         x = nn.Conv(self.channels, (1, 1), name="proj_in")(x)
         x = x.reshape(b, h * w, c)
         x = BasicTransformerBlock(

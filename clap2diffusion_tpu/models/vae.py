@@ -20,7 +20,7 @@ from flax import linen as nn
 
 from clap2diffusion_tpu.core.config import VAEConfig
 from clap2diffusion_tpu.ops.attention import mha
-from clap2diffusion_tpu.ops.groupnorm import GroupNormSiLU
+from clap2diffusion_tpu.ops.groupnorm import GroupNorm, GroupNormSiLU
 
 
 class VAEResnetBlock(nn.Module):
@@ -49,7 +49,7 @@ class VAEAttention(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         residual = x
-        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="group_norm")(x)
+        y = GroupNorm(num_groups=self.groups, epsilon=1e-6, name="group_norm")(x)
         y = y.reshape(b, h * w, c)
         q = nn.Dense(c, name="to_q")(y)
         k = nn.Dense(c, name="to_k")(y)
