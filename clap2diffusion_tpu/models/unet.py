@@ -170,7 +170,11 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # nearest x2 as broadcast+reshape: jax.image.resize lowers to a
+        # gather, which the device trace shows costing real time per step;
+        # a broadcast keeps it a pure layout op XLA fuses away.
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+        x = x.reshape(b, h * 2, w * 2, c)
         return nn.Conv(self.channels, (3, 3), padding=1, name="conv")(x)
 
 

@@ -110,7 +110,10 @@ class VAEDecoder(nn.Module):
                 h = VAEResnetBlock(out_channels=c, groups=g, name=f"up_{i}_resnet_{j}")(h)
             if i < len(ch) - 1:
                 b, hh, ww, cc = h.shape
-                h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), method="nearest")
+                # nearest x2 via broadcast (resize lowers to a slow gather)
+                h = jnp.broadcast_to(
+                    h[:, :, None, :, None, :], (b, hh, 2, ww, 2, cc)
+                ).reshape(b, hh * 2, ww * 2, cc)
                 h = nn.Conv(c, (3, 3), padding=1, name=f"up_{i}_upsample")(h)
         h = GroupNormSiLU(groups=g, epsilon=1e-6, name="conv_norm_out")(h)
         return nn.Conv(self.cfg.out_channels, (3, 3), padding=1, name="conv_out")(h)
