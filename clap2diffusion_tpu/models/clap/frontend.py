@@ -105,15 +105,25 @@ def _log_mel_impl(waveform: jax.Array, cfg: AudioFrontendConfig) -> jax.Array:
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     num_frames = 1 + (x.shape[-1] - n_fft) // hop
 
-    idx = np.arange(num_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    frames = x[..., idx]  # [..., frames, n_fft]
-
-    # |rFFT(frames * window)|^2 as two fp32 MXU matmuls (window folded in).
+    # Framing + windowed rFFT as ONE strided fp32 convolution: each filter
+    # is a Hann-windowed DFT basis (cos|sin), stride = hop. The explicit
+    # gather formulation (x[..., frame_idx]) cost 7.3 ms of the 7.9 ms
+    # encode on v5e — the whole HTSAT tower is ~0.6 ms — because a
+    # [frames, n_fft] advanced-index lowers to a scalar gather. The conv
+    # rides the MXU instead.
     cos_w, sin_w = _windowed_dft_matrices(n_fft)
-    re = jnp.dot(frames, jnp.asarray(cos_w), precision="highest",
-                 preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, jnp.asarray(sin_w), precision="highest",
-                 preferred_element_type=jnp.float32)
+    bins = n_fft // 2 + 1
+    filt = jnp.asarray(np.concatenate([cos_w, sin_w], axis=1))[:, None, :]
+    lead = x.shape[:-1]
+    xr = x.reshape((-1, x.shape[-1], 1))
+    spec = jax.lax.conv_general_dilated(
+        xr, filt, window_strides=(hop,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [prod(lead), frames, 2*bins]
+    spec = spec.reshape(lead + (num_frames, 2 * bins))
+    re, im = spec[..., :bins], spec[..., bins:]
     power = re * re + im * im
 
     fb = jnp.asarray(
