@@ -216,11 +216,15 @@ class AudioToImagePipeline:
         num_steps: int,
         guidance_scale: jax.Array,
         model_type: str,
-        rng: jax.Array,
+        seed: jax.Array,
         batch: int,
         norm_target: jax.Array,
         temperature: jax.Array,
     ) -> jax.Array:
+        # PRNG key derived on device: a host-side jax.random.key() is its own
+        # dispatch, and on the tunneled backend every dispatch costs a ~30 ms
+        # round-trip (measured; see BENCH_NOTES.md).
+        rng = jax.random.key(seed)
         # CLAP encode fused into the same program: one dispatch per image
         # (a separate encode call costs an extra host round-trip).
         clap_emb = None
@@ -303,24 +307,29 @@ class AudioToImagePipeline:
         if uncond_ids is None:
             uncond_ids = np.zeros((batch, max_len), np.int32)
 
+        # All argument prep stays in numpy: each host-side jnp op (asarray
+        # with conversion, [None] reshape, random.key) is a separate device
+        # dispatch, and on the tunneled backend every dispatch is a ~30 ms
+        # round-trip — six of them cost ~0.2 s of the ~1.3 s image budget.
+        # numpy args ride along with the one _generate_jit dispatch.
         wav = None
         if waveform is not None:
-            wav = jnp.asarray(waveform)
+            wav = np.asarray(waveform, np.float32)
             if wav.ndim == 1:
                 wav = wav[None]
 
         img = self._generate_jit(
             self.params,
             wav,
-            jnp.asarray(text_ids, jnp.int32),
-            jnp.asarray(uncond_ids, jnp.int32),
+            np.asarray(text_ids, np.int32),
+            np.asarray(uncond_ids, np.int32),
             num_steps,
-            jnp.asarray(guidance_scale, jnp.float32),
+            np.float32(guidance_scale),
             model_type,
-            jax.random.key(seed),
+            np.int32(seed),
             batch,
-            jnp.asarray(norm_target, jnp.float32),
-            jnp.asarray(temperature, jnp.float32),
+            np.float32(norm_target),
+            np.float32(temperature),
         )
         return np.asarray(img)
 
@@ -388,11 +397,11 @@ def generate_sharded(
             tids,
             uids,
             num_steps,
-            jnp.asarray(guidance_scale, jnp.float32),
+            np.float32(guidance_scale),
             model_type,
-            jax.random.key(seed),
+            np.int32(seed),
             b,
-            jnp.asarray(norm_target, jnp.float32),
-            jnp.asarray(0.5, jnp.float32),
+            np.float32(norm_target),
+            np.float32(0.5),
         )
     return np.asarray(img)

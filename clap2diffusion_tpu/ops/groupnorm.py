@@ -73,9 +73,14 @@ def _xla_group_norm(x, scale, bias, groups, eps, silu):
     """
     b, h, w, c = x.shape
     cg = c // groups
+    # Stats in f32 over the (possibly bf16) input. XLA CSEs the casts and
+    # chooses to materialize one f32 copy feeding the two reduces and the
+    # final elementwise (~0.6 ms/UNet-step in the trace); formulations that
+    # cast per-consumer trace to the identical jaxpr, so that copy is the
+    # compiler's call, not ours.
     xf = x.astype(jnp.float32)
     s1 = jnp.sum(xf, axis=(1, 2))  # [B, C]
-    s2 = jnp.sum(xf * xf, axis=(1, 2))
+    s2 = jnp.sum(jnp.square(xf), axis=(1, 2))
     g1 = jnp.sum(s1.reshape(b, groups, cg), axis=-1)  # [B, G]
     g2 = jnp.sum(s2.reshape(b, groups, cg), axis=-1)
     n = h * w * cg
