@@ -34,6 +34,7 @@ from clap2diffusion_tpu.core.config import UNetConfig
 from clap2diffusion_tpu.models.condition.inject import AudioInjection
 from clap2diffusion_tpu.ops.attention import mha
 from clap2diffusion_tpu.ops.groupnorm import GroupNorm, GroupNormSiLU
+from clap2diffusion_tpu.ops.winograd import Conv3x3
 
 
 def timestep_embedding(timesteps: jax.Array, dim: int, max_period: float = 10_000.0) -> jax.Array:
@@ -67,11 +68,11 @@ class ResnetBlock(nn.Module):
     def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
         h = GroupNormSiLU(groups=self.groups, epsilon=1e-5, name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(h)
+        h = Conv3x3(self.out_channels, name="conv1")(h)
         t = nn.Dense(self.out_channels, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
         h = GroupNormSiLU(groups=self.groups, epsilon=1e-5, name="norm2")(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2")(h)
+        h = Conv3x3(self.out_channels, name="conv2")(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut")(x)
         return x + h
@@ -175,7 +176,7 @@ class Upsample(nn.Module):
         # a broadcast keeps it a pure layout op XLA fuses away.
         x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
         x = x.reshape(b, h * 2, w * 2, c)
-        return nn.Conv(self.channels, (3, 3), padding=1, name="conv")(x)
+        return Conv3x3(self.channels, name="conv")(x)
 
 
 class UNet2DCondition(nn.Module):
@@ -224,7 +225,7 @@ class UNet2DCondition(nn.Module):
         ResBlock = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
         TfBlock = nn.remat(Transformer2D) if cfg.remat else Transformer2D
 
-        h = nn.Conv(block_ch[0], (3, 3), padding=1, name="conv_in")(sample)
+        h = Conv3x3(block_ch[0], name="conv_in")(sample)
         skips = [h]
 
         # Down path
@@ -284,4 +285,4 @@ class UNet2DCondition(nn.Module):
 
         h = GroupNormSiLU(groups=cfg.norm_num_groups, epsilon=1e-5,
                           name="conv_norm_out")(h)
-        return nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out")(h)
+        return Conv3x3(cfg.out_channels, name="conv_out")(h)

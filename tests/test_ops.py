@@ -137,6 +137,49 @@ def test_group_norm_silu_matches_flax(monkeypatch):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
 
 
+def test_winograd_conv3x3_matches_direct():
+    """Winograd F(2x2,3x3) vs lax direct conv: f32 exact-ish, plus grads
+    (autodiff through the transform graph) and the plain-GroupNorm module."""
+    from clap2diffusion_tpu.ops.winograd import conv3x3_winograd, eligible
+
+    rng = np.random.default_rng(0)
+    for shape, co in [((2, 8, 8, 16), 24), ((1, 10, 6, 8), 8)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, shape[-1], co)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b
+        got = conv3x3_winograd(x, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+    # gradients flow through the transform graph
+    gw = jax.grad(lambda w: conv3x3_winograd(x, w, b).sum())(w)
+    gr = jax.grad(lambda w: (jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b).sum())(w)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gr), rtol=1e-3,
+                               atol=1e-3)
+    assert eligible((1, 64, 64, 320), (3, 3, 320, 320), (1, 1), "SAME")
+    assert not eligible((1, 64, 64, 320), (3, 3, 320, 320), (2, 2), "SAME")
+    assert not eligible((1, 63, 64, 320), (3, 3, 320, 320), (1, 1), "SAME")
+
+
+def test_group_norm_module_matches_flax():
+    from flax import linen as nn
+
+    from clap2diffusion_tpu.ops.groupnorm import GroupNorm
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 64)) * 2 + 0.5
+    scale = jax.random.normal(jax.random.key(1), (64,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.key(2), (64,)) * 0.1
+    ours = GroupNorm(num_groups=8, epsilon=1e-6).apply(
+        {"params": {"scale": scale, "bias": bias}}, x)
+    ref = nn.GroupNorm(num_groups=8, epsilon=1e-6).apply(
+        {"params": {"scale": scale, "bias": bias}}, x)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
 def test_group_norm_silu_grad_matches_xla(monkeypatch):
     from clap2diffusion_tpu.ops import groupnorm as gn
 
