@@ -33,6 +33,7 @@ def encoder_vars():
     return model, v
 
 
+@pytest.mark.slow
 def test_encoder_shapes_and_param_parity(encoder_vars):
     model, v = encoder_vars
     audio = jax.random.normal(jax.random.key(1), (4, 512))

@@ -39,6 +39,7 @@ def test_flash_forward_matches_xla_interpret(monkeypatch, d):
 
 
 @pytest.mark.parametrize("h,d", [(8, 40), (5, 40), (8, 64), (4, 32)])
+@pytest.mark.slow
 def test_packed_flash_matches_xla_interpret(monkeypatch, h, d):
     """Head-packed forward (block-diagonal K/V, segmented softmax) vs XLA,
     including ghost-head remainders (h=5 with pack=3)."""

@@ -210,6 +210,7 @@ def test_stage3_step_trains_only_output_layers(tiny_params):
     assert moved > 0 and frozen == 0.0
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, tiny_params):
     cfg, params = tiny_params
     from clap2diffusion_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
@@ -370,6 +371,7 @@ def test_training_determinism(tiny_params):
     )
 
 
+@pytest.mark.slow
 def test_embedding_cache_used(tmp_path, tiny_params):
     """Precomputed emb/{id}.npz files bypass the frozen towers in training."""
     from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
