@@ -26,7 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_Q = int(os.environ.get("C2D_FLASH_BLOCK_Q", "256"))
 
 
 def _pad_to(x: jax.Array, size: int, axis: int) -> jax.Array:
