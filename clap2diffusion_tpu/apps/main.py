@@ -137,14 +137,18 @@ def cmd_train(args) -> int:
     from clap2diffusion_tpu.diffusion.pipeline import init_params
     from clap2diffusion_tpu.train.trainer import run_stage
 
-    if args.coordinator or args.num_processes:
-        from clap2diffusion_tpu.parallel.distributed import initialize_distributed
+    # Connect the process group BEFORE init_params touches the backend:
+    # jax.distributed.initialize raises RuntimeError once any jit/device
+    # query has initialized jax. Env-var launches (C2D_COORDINATOR etc.,
+    # read inside initialize_distributed) must also pass through here —
+    # the later run_stage call would be too late.
+    from clap2diffusion_tpu.parallel.distributed import initialize_distributed
 
-        initialize_distributed(
-            coordinator=args.coordinator,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-        )
+    initialize_distributed(
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
     cfg = _load_cfg(args)
     params = init_params(cfg, seed=cfg.train.seed)
     run_stage(

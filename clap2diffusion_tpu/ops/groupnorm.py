@@ -85,7 +85,9 @@ def _xla_group_norm(x, scale, bias, groups, eps, silu):
     g2 = jnp.sum(s2.reshape(b, groups, cg), axis=-1)
     n = h * w * cg
     mean = g1 / n
-    var = g2 / n - mean * mean
+    # one-pass variance can go (slightly) negative via cancellation when
+    # |mean| >> std; clamp before rsqrt or eps may not save it from NaN
+    var = jnp.maximum(g2 / n - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     # fold (x - mean) * inv * scale + bias into x * a + b per channel
     inv_c = jnp.repeat(inv, cg, axis=1)  # [B, C]

@@ -12,10 +12,12 @@ Launch procedure (one process per host; same command everywhere):
     C2D_COORDINATOR=10.0.0.1:8476 C2D_NUM_PROCESSES=4 C2D_PROCESS_ID=$RANK \\
         python -m clap2diffusion_tpu.apps.main train --stage 2 ...
 
-On Cloud TPU pods the three variables can be omitted — jax.distributed
-auto-detects the topology from the TPU metadata server. On CPU (tests) the
-collectives run over Gloo; see tests/test_distributed.py for a real
-2-process launch.
+On Cloud TPU pods set ``C2D_AUTO_DIST=1`` instead of the three variables —
+``jax.distributed.initialize()`` is then called bare and auto-detects the
+topology from the TPU metadata server. (Auto-detection is NOT attempted by
+default: a bare initialize() on a non-pod host hangs waiting for a
+coordinator.) On CPU (tests) the collectives run over Gloo; see
+tests/test_distributed.py for a real 2-process launch.
 """
 
 from __future__ import annotations
@@ -36,9 +38,13 @@ def initialize_distributed(
     """Connect this process to the job. Returns True if multi-process.
 
     Arguments fall back to ``C2D_COORDINATOR`` / ``C2D_NUM_PROCESSES`` /
-    ``C2D_PROCESS_ID``; with none of those set this is a no-op (single
-    process) unless running on a TPU pod slice where jax auto-detects.
-    Idempotent: a second call is a no-op.
+    ``C2D_PROCESS_ID``; ``C2D_AUTO_DIST=1`` opts into jax's TPU-pod
+    auto-detection (bare initialize()). With none of those set this is a
+    no-op (single process). Idempotent: a second call is a no-op.
+
+    MUST run before anything initializes the JAX backend (jit, device
+    query, param init): jax.distributed.initialize raises RuntimeError
+    after backend init. Entry points call this first for that reason.
     """
     global _INITIALIZED
     if _INITIALIZED:
@@ -54,6 +60,10 @@ def initialize_distributed(
         int(env_i) if env_i else None
     )
     if coordinator is None and num_processes is None:
+        if os.environ.get("C2D_AUTO_DIST") == "1":
+            jax.distributed.initialize()  # TPU-pod metadata auto-detection
+            _INITIALIZED = True
+            return jax.process_count() > 1
         return False  # single-process: never touch the distributed runtime
 
     jax.distributed.initialize(
@@ -74,11 +84,13 @@ def process_count() -> int:
     return jax.process_count()
 
 
-def shard_host_batch(mesh, batch):
+def shard_host_batch(mesh, batch, axis: int = 0):
     """Place a per-process batch shard onto the global mesh's data axis.
 
-    Each process feeds only its local slice (batch dim =
-    global_batch / process_count); ``make_array_from_process_local_data``
+    ``axis`` selects which dimension is the (host-sharded) batch dimension —
+    0 for plain batches, 1 for scan-stacked [steps, batch, ...] batches.
+    Each process feeds only its local slice (that dim =
+    global / process_count); ``make_array_from_process_local_data``
     assembles the logically-global array. Single-process: behaves exactly
     like ``parallel.sharding.shard_batch``.
     """
@@ -89,10 +101,14 @@ def shard_host_batch(mesh, batch):
 
     def place(x):
         x = np.asarray(x)
-        sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        spec = [None] * x.ndim
+        spec[axis] = "data"
+        sharding = NamedSharding(mesh, P(*spec))
         if nproc == 1:
             return jax.device_put(x, sharding)
-        global_shape = (x.shape[0] * nproc,) + x.shape[1:]
+        global_shape = (
+            x.shape[:axis] + (x.shape[axis] * nproc,) + x.shape[axis + 1:]
+        )
         return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
     return jax.tree.map(place, batch)

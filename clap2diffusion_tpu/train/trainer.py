@@ -157,7 +157,21 @@ def run_stage(
         raise ValueError(f"model_parallel={mp} does not divide {n_dev} devices")
     global_batch = scfg.batch_size * jax.process_count()
     avail_dp = n_dev // mp
-    dp = max(d for d in range(1, avail_dp + 1) if global_batch % d == 0)
+    if jax.process_count() > 1:
+        # multi-host: the mesh must cover EVERY host's devices, or the
+        # processes whose chips fall outside it cannot feed their batch
+        # shard (make_array_from_process_local_data requires addressable
+        # devices in the sharding). Use all chips and demand divisibility.
+        dp = avail_dp
+        if global_batch % dp != 0:
+            raise ValueError(
+                f"multi-host run: global batch {global_batch} "
+                f"(batch_size {scfg.batch_size} x {jax.process_count()} "
+                f"processes) must be divisible by the data axis {dp} "
+                f"(= {n_dev} devices / model_parallel {mp})"
+            )
+    else:
+        dp = max(d for d in range(1, avail_dp + 1) if global_batch % d == 0)
     mesh = make_train_mesh(dp * mp, model_parallel=mp)
     tx = init_tx(stage_params)
     from clap2diffusion_tpu.parallel.sharding import shard_params
@@ -224,25 +238,7 @@ def run_stage(
                 stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *pending)
                 pending = []
                 # shard the per-step batch axis (dim 1) over the data mesh
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                nproc = jax.process_count()
-
-                def _place_stacked(x):
-                    sh = NamedSharding(
-                        mesh, P(None, "data", *([None] * (x.ndim - 2)))
-                    )
-                    if nproc == 1:
-                        return jax.device_put(x, sh)
-                    local = np.asarray(x)
-                    gshape = (
-                        local.shape[0], local.shape[1] * nproc
-                    ) + local.shape[2:]
-                    return jax.make_array_from_process_local_data(
-                        sh, local, gshape
-                    )
-
-                stacked = jax.tree.map(_place_stacked, stacked)
+                stacked = shard_host_batch(mesh, stacked, axis=1)
                 rng, sub = jax.random.split(rng)
                 rngs = jax.random.split(sub, k)
                 state, metrics = jchunk(state, stacked, rngs)

@@ -259,12 +259,17 @@ def test_tokenizer_fallback_warns_once(capsys):
     (VERDICT round-1 missing #3)."""
     import clap2diffusion_tpu.models.tokenizer as T
 
-    T._FALLBACK_WARNED = False
+    T._FALLBACK_WARNED = set()
     T.CLIPTokenizer()
     T.CLIPTokenizer()
     err = capsys.readouterr().err
     assert err.count("HASH tokenizer") == 1
     assert "CLIP_BPE_PATH" in err
+    # a DIFFERENT tokenizer kind still gets its own warning (the CLIP
+    # warning must not suppress it)
+    T._warn_fallback("RoBERTa BPE", "CLAP_BPE_DIR", "roberta vocab files")
+    err2 = capsys.readouterr().err
+    assert "CLAP_BPE_DIR" in err2
 
 
 @pytest.mark.slow
