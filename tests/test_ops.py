@@ -166,6 +166,32 @@ def test_winograd_conv3x3_matches_direct():
     assert not eligible((1, 63, 64, 320), (3, 3, 320, 320), (1, 1), "SAME")
 
 
+def test_winograd_pallas_matches_direct(monkeypatch):
+    """VMEM-resident Winograd kernel (interpreter mode) vs direct conv."""
+    import jax.experimental.pallas as pl
+
+    import clap2diffusion_tpu.ops.winograd_pallas as wp
+
+    orig = pl.pallas_call
+
+    def interp(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(wp.pl, "pallas_call", interp)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 16, 24)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.normal(size=(24,)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    got = wp.conv3x3_winograd_pallas(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+
+
 def test_group_norm_module_matches_flax():
     from flax import linen as nn
 
