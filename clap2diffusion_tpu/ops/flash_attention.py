@@ -10,9 +10,11 @@ the PV matmul all fuse in VMEM, with fp32 accumulation on the MXU.
 Head dims (40/80/160 for SD v1.5) are zero-padded to the 128-lane boundary
 inside the wrapper; padding columns contribute nothing to logits or outputs.
 
-Backward currently runs the XLA einsum path via custom_vjp (numerically
-identical, recompute-based); a Pallas backward kernel is the planned next
-optimization.
+Backward is a recompute-based Pallas kernel too (``_bwd_kernel``): per
+query block it rebuilds the softmax probabilities in VMEM and accumulates
+dQ/dK/dV with fp32 accumulators. Flash fwd+bwd together measure 1.93x on
+stage-2 training throughput vs the all-XLA attention path
+(BENCH_NOTES.md).
 """
 
 from __future__ import annotations
