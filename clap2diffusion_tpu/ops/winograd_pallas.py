@@ -38,15 +38,13 @@ a documented experiment; not wired into any model.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from clap2diffusion_tpu.ops.winograd import _AT, _BT, _G
+from clap2diffusion_tpu.ops.winograd import _AT, _G
 
 VMEM_LIMIT = 100 * 1024 * 1024  # v5e/v5p have 128MB physical
 
