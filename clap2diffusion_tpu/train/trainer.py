@@ -98,6 +98,36 @@ class EmbeddingFrontend:
         }
 
 
+def choose_mesh_axes(n_dev: int, model_parallel: int, batch_size: int,
+                     nproc: int) -> tuple:
+    """Pick the (data, model) mesh axis sizes for a training run.
+
+    Single-process: the data axis is the largest device count dividing the
+    global batch (spare chips idle rather than fail). Multi-host: the mesh
+    must cover EVERY host's devices — a process whose chips fall outside
+    the mesh cannot feed its batch shard
+    (``make_array_from_process_local_data`` requires addressable devices in
+    the sharding) — so all chips are used and divisibility is validated.
+    """
+    mp = max(1, model_parallel)
+    if n_dev % mp != 0:
+        raise ValueError(f"model_parallel={mp} does not divide {n_dev} devices")
+    global_batch = batch_size * nproc
+    avail_dp = n_dev // mp
+    if nproc > 1:
+        dp = avail_dp
+        if global_batch % dp != 0:
+            raise ValueError(
+                f"multi-host run: global batch {global_batch} "
+                f"(batch_size {batch_size} x {nproc} processes) must be "
+                f"divisible by the data axis {dp} "
+                f"(= {n_dev} devices / model_parallel {mp})"
+            )
+    else:
+        dp = max(d for d in range(1, avail_dp + 1) if global_batch % d == 0)
+    return dp, mp
+
+
 def run_stage(
     cfg: Config,
     stage: int,
@@ -151,27 +181,12 @@ def run_stage(
     # mesh = (data, model): tensor parallelism from config (VERDICT round-1
     # weak #7 — TP is now reachable from the real training entry point);
     # the data axis must divide the global per-step batch
-    n_dev = len(jax.devices())
-    mp = max(1, cfg.train.model_parallel)
-    if n_dev % mp != 0:
-        raise ValueError(f"model_parallel={mp} does not divide {n_dev} devices")
-    global_batch = scfg.batch_size * jax.process_count()
-    avail_dp = n_dev // mp
-    if jax.process_count() > 1:
-        # multi-host: the mesh must cover EVERY host's devices, or the
-        # processes whose chips fall outside it cannot feed their batch
-        # shard (make_array_from_process_local_data requires addressable
-        # devices in the sharding). Use all chips and demand divisibility.
-        dp = avail_dp
-        if global_batch % dp != 0:
-            raise ValueError(
-                f"multi-host run: global batch {global_batch} "
-                f"(batch_size {scfg.batch_size} x {jax.process_count()} "
-                f"processes) must be divisible by the data axis {dp} "
-                f"(= {n_dev} devices / model_parallel {mp})"
-            )
-    else:
-        dp = max(d for d in range(1, avail_dp + 1) if global_batch % d == 0)
+    dp, mp = choose_mesh_axes(
+        n_dev=len(jax.devices()),
+        model_parallel=cfg.train.model_parallel,
+        batch_size=scfg.batch_size,
+        nproc=jax.process_count(),
+    )
     mesh = make_train_mesh(dp * mp, model_parallel=mp)
     tx = init_tx(stage_params)
     from clap2diffusion_tpu.parallel.sharding import shard_params

@@ -148,3 +148,38 @@ def test_initialize_distributed_noop_single_process(monkeypatch):
     assert distributed.initialize_distributed() is False
     assert distributed.process_count() == 1
     assert distributed.is_coordinator()
+
+
+def test_choose_mesh_axes():
+    """Mesh sizing: single-process spare-chip fallback; multi-host must
+    cover every host's devices (review finding: a 'largest divisor' dp
+    could exclude whole hosts, whose shard placement then fails)."""
+    from clap2diffusion_tpu.train.trainer import choose_mesh_axes
+
+    # single process: largest dp dividing the batch
+    assert choose_mesh_axes(8, 1, 4, 1) == (4, 1)
+    assert choose_mesh_axes(8, 2, 4, 1) == (4, 2)
+    assert choose_mesh_axes(8, 1, 3, 1) == (3, 1)
+    # multi-host: all chips, divisibility enforced
+    assert choose_mesh_axes(8, 1, 4, 2) == (8, 1)  # global batch 8 over 8
+    with pytest.raises(ValueError, match="divisible by the data axis"):
+        choose_mesh_axes(8, 1, 2, 2)  # global batch 4, dp 8
+    with pytest.raises(ValueError, match="model_parallel"):
+        choose_mesh_axes(8, 3, 4, 1)
+
+
+def test_shard_host_batch_axis1(eight_devices):
+    """axis=1 places scan-stacked [steps, batch, ...] arrays with the batch
+    dim on the data axis (trainer steps_per_call path)."""
+    import numpy as np
+
+    from clap2diffusion_tpu.parallel.distributed import shard_host_batch
+    from clap2diffusion_tpu.parallel.sharding import make_train_mesh
+
+    mesh = make_train_mesh(8)
+    x = np.arange(3 * 8 * 4, dtype=np.float32).reshape(3, 8, 4)
+    out = shard_host_batch(mesh, {"a": x}, axis=1)["a"]
+    assert out.shape == (3, 8, 4)
+    np.testing.assert_array_equal(np.asarray(out), x)
+    spec = out.sharding.spec
+    assert spec[1] == "data" and spec[0] is None
