@@ -11,6 +11,7 @@ single jit-compiled step with batches sharded over the mesh's data axis.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Dict, Optional
@@ -194,6 +195,10 @@ def run_stage(
     # model-shards wide kernels over the model axis (pure replication when
     # mp == 1); optimizer moments inherit placement shape-wise
     stage_params = shard_params(stage_params, mesh)
+    # private copies: the jitted steps donate the state, and shard_params
+    # may alias the caller's arrays — donation would invalidate the
+    # caller's `params` tree (which is reused across stages)
+    stage_params = jax.tree.map(jnp.copy, stage_params)
     state = TrainState.create(stage_params, tx, use_ema=scfg.use_ema)
     if resume_from and checkpoint_dir:
         from clap2diffusion_tpu.train.checkpoint import restore_checkpoint
@@ -220,9 +225,12 @@ def run_stage(
     )
     logger = MetricLogger(log_dir or cfg.train.log_dir, run_name=f"stage{stage}")
     spc = max(1, scfg.steps_per_call)
-    jstep = jax.jit(lambda s, b, r: step_fn(s, b, r, tx))
+    # donate the state: the caller always rebinds, and donation lets XLA
+    # update params/opt-state in place instead of holding two copies of
+    # the ~3.4 GB fp32 master params across the call boundary
+    jstep = jax.jit(lambda s, b, r: step_fn(s, b, r, tx), donate_argnums=0)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def jchunk(state, stacked, rngs):
         def body(s, xs):
             b, r = xs
