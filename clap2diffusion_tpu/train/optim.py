@@ -117,7 +117,8 @@ def path_matcher(*substrings: str) -> Callable[[tuple], bool]:
 
 
 def ema_init(params):
-    return jax.tree.map(lambda x: x, params)
+    # owns its buffers (jnp.copy): donated train steps may not alias
+    return jax.tree.map(jnp.copy, params)
 
 
 def ema_update(ema_params, new_params, decay: float = 0.9999):

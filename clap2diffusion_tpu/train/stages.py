@@ -57,7 +57,10 @@ class TrainState:
             params=params,
             opt_state=tx.init(params),
             step=jnp.zeros((), jnp.int32),
-            ema_params=jax.tree.map(lambda x: x, params) if use_ema else None,
+            # jnp.copy, not identity: the shadow must own its buffers —
+            # the jitted steps donate the whole state, and donating the
+            # same buffer twice (params + aliased ema) is a runtime error
+            ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
         )
 
 
