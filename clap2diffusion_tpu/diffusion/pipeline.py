@@ -347,12 +347,23 @@ def save_pipeline(path: str, params: Dict[str, Any]) -> str:
 
 
 def load_pipeline(cfg: Config, path: str, dtype=None) -> "AudioToImagePipeline":
-    """Restore a pipeline from a save_pipeline checkpoint."""
+    """Restore a pipeline from a save_pipeline checkpoint.
+
+    Restores as-saved (no abstract tree) so optional eval towers the
+    converter may have added (clip_vision / clip_text_projection /
+    inception_v3) survive the round-trip; the six core towers are then
+    checked for presence explicitly.
+    """
     import orbax.checkpoint as ocp
 
-    abstract = jax.eval_shape(lambda: init_params(cfg, seed=0))
     ckptr = ocp.StandardCheckpointer()
-    params = ckptr.restore(os.path.abspath(path), abstract)
+    params = dict(ckptr.restore(os.path.abspath(path)))
+    required = {"clap_audio", "clip_text", "hierarchical", "adapter", "unet", "vae"}
+    missing = required - set(params)
+    if missing:
+        raise ValueError(
+            f"pipeline checkpoint at {path} is missing towers: {sorted(missing)}"
+        )
     if dtype is not None:
         params = jax.tree.map(lambda x: x.astype(dtype), params)
     return AudioToImagePipeline(cfg, params=params)

@@ -99,12 +99,12 @@ def fid_from_images(images_a: np.ndarray, images_b: np.ndarray,
     NAMING CONTRACT: this is *standard FID* only when ``feature_fn`` is
     InceptionV3 pool3 (2048-d) — the extractor the literature and the
     reference's declared ``fid_score`` (reference scripts/evaluate.py:24-30)
-    assume. This zero-egress image carries no Inception weights, so the
-    evaluator reports the metric as ``frechet_clip_vision`` (CLIP ViT
-    features), which is NOT comparable with published FID numbers. To get
-    standard FID: load InceptionV3 weights into any JAX/torch
-    implementation and pass ``feature_fn=lambda imgs: pool3(imgs)`` here —
-    the Frechet math below is extractor-agnostic and already exact.
+    assume. The in-repo extractor is ``models/inception_v3.py`` (Flax tower
+    + torchvision-state-dict converter); the evaluator reports ``fid`` when
+    those weights are loaded (``tools/convert_checkpoints.py --inception``)
+    and falls back to ``frechet_clip_vision`` (CLIP ViT features — NOT
+    comparable with published FID numbers) otherwise. The Frechet math
+    below is extractor-agnostic and exact either way.
     """
 
     def feats(images):

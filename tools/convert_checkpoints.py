@@ -45,6 +45,12 @@ def main() -> int:
     ap.add_argument("--hierarchical",
                     help="reference hierarchical encoder .pth (soft V4)")
     ap.add_argument("--adapter", help="reference AudioAdapter .pth")
+    ap.add_argument("--clip-vision",
+                    help="transformers CLIPVisionModelWithProjection state "
+                         "dict (activates CLIPScore + frechet_clip_vision)")
+    ap.add_argument("--inception",
+                    help="torchvision inception_v3 state dict (activates "
+                         "standard FID + real Inception Score)")
     ap.add_argument("--out", required=True, help="output orbax checkpoint dir")
     ap.add_argument("--config", default=None)
     args = ap.parse_args()
@@ -107,6 +113,29 @@ def main() -> int:
                 break
         params["adapter"] = convert_audio_adapter(sd)
         converted.append("adapter")
+
+    if args.clip_vision:
+        from clap2diffusion_tpu.models.clip_vision import convert_clip_vision
+
+        sd = load_sd(args.clip_vision)
+        params["clip_vision"] = convert_clip_vision(sd, cfg.diffusion.clip_vision)
+        converted.append("clip_vision")
+        # a full CLIPModel dict also carries the text projection CLIPScore
+        # needs (models/clip_vision.py::clip_text_features)
+        if "text_projection.weight" in sd:
+            import numpy as np
+
+            params["clip_text_projection"] = np.asarray(
+                sd["text_projection.weight"].detach().cpu().numpy()
+                if hasattr(sd["text_projection.weight"], "detach")
+                else sd["text_projection.weight"]
+            ).T.astype(np.float32)
+            converted.append("clip_text_projection")
+    if args.inception:
+        from clap2diffusion_tpu.models.inception_v3 import convert_inception_v3
+
+        params["inception_v3"] = convert_inception_v3(load_sd(args.inception))
+        converted.append("inception_v3")
 
     path = save_pipeline(args.out, params)
     missing = sorted(
