@@ -304,10 +304,17 @@ class StageConfig:
     loss_weights: Dict[str, float] = field(default_factory=dict)
 
 
+# use_ema defaults ON (decay 0.9999, reference utils/training_utils.py:16)
+# so a default-config train -> `infer --ema` works with no extra flags;
+# steps_per_call>1 chains steps in one jit dispatch (lax.scan), hiding the
+# per-dispatch RPC latency of remote-tunneled TPUs (BENCH_NOTES.md).
+
+
 def _default_stage1() -> StageConfig:
     # (reference configs/training_config.yaml:11-18, train_stage1.py:87-94)
     return StageConfig(
         steps=3000, lr=1e-4, batch_size=8, grad_accum=2, grad_clip=1.0,
+        use_ema=True, steps_per_call=50,
         loss_weights={"mse": 1.0, "infonce": 1.0},
     )
 
@@ -316,6 +323,7 @@ def _default_stage2() -> StageConfig:
     # (reference configs/training_config.yaml:20-29, train_stage2.py:213-226)
     return StageConfig(
         steps=2000, lr=5e-5, batch_size=4, grad_accum=4, grad_clip=1.0,
+        use_ema=True, steps_per_call=25,
         loss_weights={"diffusion": 1.0, "orthogonality": 0.1, "entropy": 0.01},
     )
 
@@ -325,6 +333,7 @@ def _default_stage3() -> StageConfig:
     return StageConfig(
         steps=1000, lr=1e-5, batch_size=2, grad_accum=8, grad_clip=0.5,
         lr_schedule="cosine", min_lr=1e-6,
+        use_ema=True, steps_per_call=25,
         loss_weights={"diffusion": 2.0, "consistency": 0.5, "alignment": 0.3},
     )
 

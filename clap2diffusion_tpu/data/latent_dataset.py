@@ -159,16 +159,32 @@ class PrefetchLoader:
         seed: int = 42,
         prefetch: int = 2,
         drop_last: bool = True,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
+        """``shard_index``/``num_shards``: multi-host data sharding. Every
+        host shuffles the full index list with the SAME seed and takes the
+        strided slice ``order[shard_index::num_shards]`` — guaranteed
+        disjoint per step (not merely disjoint in expectation), the
+        analogue of the reference's seeded per-worker sampling
+        (reference data/dataset.py:351-360,417-418)."""
+        if not (0 <= shard_index < num_shards):
+            raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+
+    def _shard_size(self) -> int:
+        n = len(self.dataset)
+        return (n - self.shard_index + self.num_shards - 1) // self.num_shards
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_size()
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _collate(self, items: List[Dict]) -> Dict:
@@ -184,6 +200,7 @@ class PrefetchLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + epoch_idx).shuffle(order)
+        order = order[self.shard_index :: self.num_shards]
         n_batches = len(self)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 

@@ -19,15 +19,16 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from clap2diffusion_tpu.utils.audio_io import read_wav, resample_poly, write_wav
+from clap2diffusion_tpu.utils.audio_io import read_audio, resample_poly, write_wav
 
 
 def process_audio_file(
     in_path: str, out_path: str, target_sr: int = 48_000, duration_s: float = 10.0
 ) -> bool:
-    """Load -> mono -> peak-normalize -> resample -> crop/pad -> write wav."""
+    """Load (wav/flac natively; mp3 etc. via ffmpeg when installed) -> mono
+    -> peak-normalize -> resample -> crop/pad -> write wav."""
     try:
-        wav, sr = read_wav(in_path)
+        wav, sr = read_audio(in_path)
         if wav.ndim == 2:
             wav = wav.mean(axis=0)
         peak = np.abs(wav).max()

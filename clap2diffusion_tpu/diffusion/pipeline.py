@@ -159,9 +159,9 @@ class AudioToImagePipeline:
     # -- host-side frontends -------------------------------------------------
 
     def load_audio(self, path: str) -> np.ndarray:
-        from clap2diffusion_tpu.utils.audio_io import peak_normalize, read_wav
+        from clap2diffusion_tpu.utils.audio_io import peak_normalize, read_audio
 
-        wav, sr = read_wav(path)
+        wav, sr = read_audio(path)
         wav = peak_normalize(wav)  # (reference scripts/inference.py:73-83)
         return prepare_waveform(wav, sr, self.cfg.clap.frontend)
 

@@ -98,6 +98,8 @@ def mha(
         and num_heads >= 2
         and q.shape[1] >= 1024
         and q.shape[1] == k.shape[1]
+        # aligned lane slices only (segmented softmax; ADVICE r2)
+        and q.shape[1] % 128 == 0
         and jax.default_backend() in ("tpu", "axon")
         and os.environ.get("C2D_PACKED_FLASH") == "1"
     ):

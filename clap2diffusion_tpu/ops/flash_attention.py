@@ -28,7 +28,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = int(os.environ.get("C2D_FLASH_BLOCK_Q", "256"))
+def _default_block_q() -> int:
+    """Parsed lazily per call (ADVICE r2: an import-time parse made a
+    malformed C2D_FLASH_BLOCK_Q poison every attention import, and
+    post-import changes were ignored). block_q in {128,256,512} measured
+    within noise on v5e (BENCH_NOTES.md), so the fallback is safe."""
+    try:
+        return int(os.environ.get("C2D_FLASH_BLOCK_Q", "256"))
+    except ValueError:
+        return 256
 
 
 def _pad_to(x: jax.Array, size: int, axis: int) -> jax.Array:
@@ -68,6 +76,9 @@ def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Ar
         and h >= 2
         and sq >= 1024
         and sq == sk
+        # the segmented softmax slices lanes per head; S must stay on the
+        # 128-lane grid or Mosaic hits unaligned-slice relayouts (ADVICE r2)
+        and sq % 128 == 0
         and os.environ.get("C2D_PACKED_FLASH") == "1"
     ):
         return _packed_flash_fwd(q, k, v, scale, min(pack, h))
@@ -79,7 +90,7 @@ def _flash_fwd_perhead(q: jax.Array, k: jax.Array, v: jax.Array,
     b, h, sq, d = q.shape
     sk = k.shape[2]
     dp = int(np.ceil(d / 128) * 128)
-    block_q = min(DEFAULT_BLOCK_Q, sq)
+    block_q = min(_default_block_q(), sq)
 
     qm = _pad_to(q.reshape(b * h, sq, d), dp, 2)
     km = _pad_to(k.reshape(b * h, sk, d), dp, 2)
@@ -414,7 +425,7 @@ def _flash_bwd(q, k, v, do, scale: float):
     b, h, sq, d = q.shape
     sk = k.shape[2]
     dp = int(np.ceil(d / 128) * 128)
-    block_q = min(DEFAULT_BLOCK_Q, sq)
+    block_q = min(_default_block_q(), sq)
 
     qm = _pad_to(q.reshape(b * h, sq, d), dp, 2)
     km = _pad_to(k.reshape(b * h, sk, d), dp, 2)

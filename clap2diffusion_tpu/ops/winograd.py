@@ -149,6 +149,11 @@ def make_conv3x3_module():
 
         @nn.compact
         def __call__(self, x):
+            # DTYPE CONTRACT (ADVICE r2): params are cast DOWN to x.dtype
+            # (unlike nn.Conv, which promotes bf16 inputs to fp32 params).
+            # Both the train path (explicit _compute_cast) and serve path
+            # feed params and activations in the SAME dtype, so this only
+            # differs in unsupported mixed configurations.
             cin = x.shape[-1]
             kernel = self.param(
                 "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features)

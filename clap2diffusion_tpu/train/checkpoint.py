@@ -77,16 +77,30 @@ def merge_stage_params(
 
     This is the consumer of ``TrainState.ema_params`` (the reference's EMA
     apply semantics, reference utils/training_utils.py:22-41: evaluate and
-    serve the shadow weights, keep training the live ones). Stage 1 trains
-    the bare adapter subtree; stages 2/3 train dicts of named towers that
-    merge by key.
+    serve the shadow weights, keep training the live ones). The shadow is a
+    flat {dotted-path: array} dict covering only the stage's TRAINABLE
+    leaves (train/stages.py::TrainState); frozen leaves come from the live
+    params. Stage 1 trains the bare adapter subtree; stages 2/3 train dicts
+    of named towers that merge by key.
     """
-    src = payload.get("ema_params") if use_ema else payload["params"]
-    if src is None:
-        raise ValueError(
-            "checkpoint carries no ema_params — train with "
-            "train.stageN.use_ema=true to produce an EMA shadow"
-        )
+    if use_ema:
+        ema = payload.get("ema_params")
+        if ema is None:
+            raise ValueError(
+                "checkpoint carries no ema_params — train with "
+                "train.stageN.use_ema=true to produce an EMA shadow"
+            )
+        # rebuild nested dicts (tree.map reconstructs every level, so the
+        # in-place overlay below cannot alias the caller's tree)
+        src = jax.tree.map(lambda x: x, payload["params"])
+        for key, val in ema.items():
+            node = src
+            parts = key.split(".")
+            for part in parts[:-1]:
+                node = node[part]
+            node[parts[-1]] = val
+    else:
+        src = payload["params"]
     if dtype is not None:
         src = jax.tree.map(lambda x: np.asarray(x).astype(dtype), src)
     if stage == 1:

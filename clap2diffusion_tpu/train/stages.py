@@ -49,10 +49,16 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jax.Array
+    # EMA shadow of the TRAINABLE leaves only, as a flat {dotted-path: array}
+    # dict. Shadowing the frozen ~860M-param UNet body to track ~40M
+    # trainables would burn an extra 3.4 GB of HBM per stage for leaves
+    # that never change; frozen leaves are re-read from ``params`` at merge
+    # time (train/checkpoint.py::merge_stage_params).
     ema_params: Any = None
 
     @classmethod
-    def create(cls, params, tx: optax.GradientTransformation, use_ema=False):
+    def create(cls, params, tx: optax.GradientTransformation, use_ema=False,
+               trainable=None):
         return cls(
             params=params,
             opt_state=tx.init(params),
@@ -60,8 +66,21 @@ class TrainState:
             # jnp.copy, not identity: the shadow must own its buffers —
             # the jitted steps donate the whole state, and donating the
             # same buffer twice (params + aliased ema) is a runtime error
-            ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
+            ema_params=_ema_init(params, trainable) if use_ema else None,
         )
+
+
+def ema_path_key(path) -> str:
+    return ".".join(_path_strings(path))
+
+
+def _ema_init(params, trainable):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return {
+        ema_path_key(p): jnp.copy(x)
+        for p, x in flat
+        if trainable is None or trainable(_path_strings(p))
+    }
 
 
 def _apply_updates(state: TrainState, tx, grads, ema_decay: Optional[float]):
@@ -69,9 +88,13 @@ def _apply_updates(state: TrainState, tx, grads, ema_decay: Optional[float]):
     params = optax.apply_updates(state.params, updates)
     ema = state.ema_params
     if ema is not None and ema_decay is not None:
-        ema = jax.tree.map(
-            lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema, params
-        )
+        flat = {
+            ema_path_key(p): x
+            for p, x in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
+        ema = {
+            k: ema_decay * e + (1 - ema_decay) * flat[k] for k, e in ema.items()
+        }
     return state.replace(
         params=params, opt_state=opt_state, step=state.step + 1, ema_params=ema
     )
@@ -213,6 +236,7 @@ def make_stage2_step(cfg: Config):
         )
         return new_state, losses
 
+    step.trainable = trainable  # EMA shadows only these leaves
     return step, init_tx, (hier, unet)
 
 
@@ -278,4 +302,5 @@ def make_stage3_step(cfg: Config):
         )
         return new_state, losses
 
+    step.trainable = trainable  # EMA shadows only these leaves
     return step, init_tx, (hier, adapter, unet)

@@ -1,11 +1,15 @@
-"""Audio IO without librosa/torchaudio: pure-numpy WAV decode + resampling.
+"""Audio IO without librosa/torchaudio: WAV + FLAC decode + resampling.
 
 The reference leans on librosa/torchaudio for decode+resample (reference
 models/audio_encoder.py:87-131, data/dataset.py:208-210,
-scripts/prepare_data.py:16-31); neither ships in this image, and the hot
-path only needs WAV. ``read_wav`` handles PCM 8/16/24/32-bit and
-IEEE-float WAVs; ``resample_poly`` is a windowed-sinc polyphase resampler
-(kaiser window), the same algorithm family scipy.signal.resample_poly uses.
+scripts/prepare_data.py:16-31) and accepts whatever they read — AudioCaps
+source media is not guaranteed WAV. ``read_wav`` handles PCM 8/16/24/32-bit
+and IEEE-float WAVs in pure numpy; ``read_audio`` sniffs the container and
+additionally decodes FLAC through the native C++ decoder
+(native/flac_decoder.h, built via ``make -C native``) with a documented
+ffmpeg-CLI fallback for anything else (mp3/ogg/m4a). ``resample_poly`` is a
+windowed-sinc polyphase resampler (kaiser window), the same algorithm
+family scipy.signal.resample_poly uses.
 """
 
 from __future__ import annotations
@@ -66,6 +70,52 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     if channels > 1:
         x = x.reshape(-1, channels).T
     return x, sr
+
+
+def read_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Container-sniffing decode -> (float32 samples, sr).
+
+    WAV decodes in-process (``read_wav``; [channels, samples] for stereo).
+    FLAC decodes through the native loader (mono-averaged [samples]) —
+    requires ``make -C native``. Other containers (mp3/ogg/m4a) fall back
+    to the ffmpeg CLI when present, mirroring the reference's
+    librosa-reads-anything surface (reference scripts/prepare_data.py:16-31).
+    """
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"RIFF":
+        return read_wav(path)
+    if magic == b"fLaC":
+        from clap2diffusion_tpu.utils.native_audio import decode_audio
+
+        out = decode_audio(path)
+        if out is None:
+            raise ValueError(
+                f"{path}: FLAC decode needs the native loader — build it "
+                "with `make -C native` (no external dependencies)"
+            )
+        return out
+    return _read_via_ffmpeg(path, magic)
+
+
+def _read_via_ffmpeg(path: str, magic: bytes) -> Tuple[np.ndarray, int]:
+    import shutil
+    import subprocess
+    import tempfile
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise ValueError(
+            f"{path}: unsupported audio container (magic {magic!r}). "
+            "WAV and FLAC decode natively; for mp3/ogg/m4a install ffmpeg "
+            "(the prepare CLI then converts through it automatically)."
+        )
+    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+        subprocess.run(
+            [ffmpeg, "-v", "error", "-y", "-i", path, "-f", "wav", tmp.name],
+            check=True,
+        )
+        return read_wav(tmp.name)
 
 
 def write_wav(path: str, x: np.ndarray, sr: int) -> None:

@@ -40,7 +40,7 @@ def load_library() -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(path)
         lib.c2d_abi_version.restype = ctypes.c_int
-        if lib.c2d_abi_version() != 1:
+        if lib.c2d_abi_version() not in (1, 2):
             return None
         lib.c2d_load_audio.restype = ctypes.c_int
         lib.c2d_load_audio.argtypes = [
@@ -53,6 +53,12 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int),
         ]
+        if lib.c2d_abi_version() >= 2:
+            lib.c2d_decode_audio.restype = ctypes.c_longlong
+            lib.c2d_decode_audio.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_longlong, ctypes.POINTER(ctypes.c_int),
+            ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -61,6 +67,25 @@ def load_library() -> Optional[ctypes.CDLL]:
 
 def native_available() -> bool:
     return load_library() is not None
+
+
+def decode_audio(path: str):
+    """Decode WAV/FLAC at native sample rate -> (mono float32 [n], sr), or
+    None when the v2 library isn't available. Two-pass: the first call
+    sizes the buffer (FLAC's STREAMINFO may omit the total)."""
+    lib = load_library()
+    if lib is None or lib.c2d_abi_version() < 2:
+        return None
+    sr = ctypes.c_int(0)
+    n = lib.c2d_decode_audio(path.encode(), None, 0, ctypes.byref(sr))
+    if n < 0:
+        raise ValueError(f"{path}: native audio decode failed")
+    out = np.zeros(int(n), np.float32)
+    lib.c2d_decode_audio(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(n), ctypes.byref(sr),
+    )
+    return out, int(sr.value)
 
 
 def load_audio(path: str, target_sr: int, target_len: int,

