@@ -85,11 +85,22 @@ def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Ar
     return _flash_fwd_perhead(q, k, v, scale)
 
 
+def _kernel_width(d: int) -> int:
+    """Feature width the kernel operates at. Default: zero-pad to the
+    128-lane boundary with host-side XLA pads. C2D_FLASH_NOPAD=1 feeds the
+    raw head dim instead (Mosaic pads MXU tiles internally), removing the
+    3-pad + 1-slice HBM round-trips per attention call — the 'pads + data
+    formatting' share the batch-16 trace flagged (BENCH_NOTES.md)."""
+    if os.environ.get("C2D_FLASH_NOPAD") == "1":
+        return d
+    return int(np.ceil(d / 128) * 128)
+
+
 def _flash_fwd_perhead(q: jax.Array, k: jax.Array, v: jax.Array,
                        scale: float) -> jax.Array:
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    dp = int(np.ceil(d / 128) * 128)
+    dp = _kernel_width(d)
     block_q = min(_default_block_q(), sq)
 
     qm = _pad_to(q.reshape(b * h, sq, d), dp, 2)
@@ -424,7 +435,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: f
 def _flash_bwd(q, k, v, do, scale: float):
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    dp = int(np.ceil(d / 128) * 128)
+    dp = _kernel_width(d)
     block_q = min(_default_block_q(), sq)
 
     qm = _pad_to(q.reshape(b * h, sq, d), dp, 2)

@@ -177,9 +177,12 @@ def _compute_cast(cfg: Config):
     cdt = jnp.dtype(cfg.train.compute_dtype)
 
     def cast(tree):
+        # f32 master params AND f16 cached embeddings (the precompute tool
+        # stores text_ctx as f16) both land in the compute dtype
         return jax.tree.map(
             lambda x: x.astype(cdt)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            if hasattr(x, "dtype") and x.dtype in (jnp.float32, jnp.float16)
+            else x,
             tree,
         )
 

@@ -36,10 +36,13 @@ def bench(stage: int, steps: int) -> None:
     from clap2diffusion_tpu.diffusion.pipeline import init_params
     from clap2diffusion_tpu.train.trainer import run_stage
 
+    spc = getattr(Config().train, f"stage{stage}").steps_per_call
     cfg = apply_overrides(Config(), [
-        # raw micro-step rate (MultiSteps accumulation just averages)
+        # raw micro-step rate (MultiSteps accumulation just averages).
+        # log_every = 2 chunks: non-logging chunks skip the host sync, so
+        # host-side chunk assembly overlaps async device dispatch.
         f"train.stage{stage}.grad_accum=1",
-        f"train.stage{stage}.log_every={getattr(Config().train, f'stage{stage}').steps_per_call}",
+        f"train.stage{stage}.log_every={2 * spc}",
         f"train.stage{stage}.save_every=1000000",
     ])
     scfg = getattr(cfg.train, f"stage{stage}")
@@ -56,6 +59,18 @@ def bench(stage: int, steps: int) -> None:
         t0 = time.perf_counter()
         params = init_params(cfg, seed=0)
         print(f"init_params: {time.perf_counter() - t0:.0f}s", flush=True)
+
+        if "--no-cache" not in sys.argv:
+            # production shape: frozen-tower embeddings precomputed once
+            # (tools/precompute_embeddings.py). Without the cache, every
+            # 25-step chunk re-uploads ~190 MB of raw wav through the TPU
+            # tunnel, which dominates the step (measured 40% of tool path).
+            from tools.precompute_embeddings import precompute
+
+            t0 = time.perf_counter()
+            n = precompute(cfg, params, root, splits=("train",))
+            print(f"precompute: {n} embeddings in "
+                  f"{time.perf_counter() - t0:.0f}s", flush=True)
 
         log_dir = os.path.join(tmp, "logs")
         t0 = time.perf_counter()

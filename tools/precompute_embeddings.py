@@ -48,7 +48,11 @@ def precompute(cfg, params, data_root: str, batch_size: int = 16,
             clap = np.asarray(frontend.encode_audio(jnp.asarray(audio)))
             ids = frontend.tokenizer(captions)
             text_ctx, text_emb = frontend.encode_text(jnp.asarray(ids))
-            text_ctx, text_emb = np.asarray(text_ctx), np.asarray(text_emb)
+            # text_ctx is the bulk of the cache (77x768/sample) and is only
+            # ever consumed cast to the bf16 compute dtype — store f16 to
+            # halve disk + host->device transfer per training chunk
+            text_ctx = np.asarray(text_ctx).astype(np.float16)
+            text_emb = np.asarray(text_emb)
             for j, s in enumerate(chunk):
                 np.savez(
                     os.path.join(out_dir, f"{s['id']}.npz"),
