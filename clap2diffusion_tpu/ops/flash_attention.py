@@ -67,7 +67,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = (pv / denom).astype(o_ref.dtype)
 
 
-def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+               force_pad: bool = False) -> jax.Array:
     b, h, sq, d = q.shape
     sk = k.shape[2]
     pack = 128 // d
@@ -82,25 +83,29 @@ def _flash_fwd(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Ar
         and os.environ.get("C2D_PACKED_FLASH") == "1"
     ):
         return _packed_flash_fwd(q, k, v, scale, min(pack, h))
-    return _flash_fwd_perhead(q, k, v, scale)
+    return _flash_fwd_perhead(q, k, v, scale, force_pad=force_pad)
 
 
 def _kernel_width(d: int) -> int:
-    """Feature width the kernel operates at. Default: zero-pad to the
-    128-lane boundary with host-side XLA pads. C2D_FLASH_NOPAD=1 feeds the
-    raw head dim instead (Mosaic pads MXU tiles internally), removing the
-    3-pad + 1-slice HBM round-trips per attention call — the 'pads + data
-    formatting' share the batch-16 trace flagged (BENCH_NOTES.md)."""
-    if os.environ.get("C2D_FLASH_NOPAD") == "1":
-        return d
-    return int(np.ceil(d / 128) * 128)
+    """Feature width the kernel operates at.
+
+    DEFAULT: the raw head dim — Mosaic pads MXU tiles internally, so the
+    explicit host-side zero-pad to the 128-lane boundary only added 3 pad
+    + 1 slice HBM round-trips per attention call (the 'pads + data
+    formatting' share the batch-16 trace flagged). Measured round 3 on
+    v5e: batch-8 1.07 -> 1.12 img/s, p50 1.268 -> 1.258 s, outputs
+    bit-identical (BENCH_NOTES.md). C2D_FLASH_NOPAD=0 restores the
+    explicit-pad entry layout."""
+    if os.environ.get("C2D_FLASH_NOPAD", "1") != "1":
+        return int(np.ceil(d / 128) * 128)
+    return d
 
 
 def _flash_fwd_perhead(q: jax.Array, k: jax.Array, v: jax.Array,
-                       scale: float) -> jax.Array:
+                       scale: float, force_pad: bool = False) -> jax.Array:
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    dp = _kernel_width(d)
+    dp = int(np.ceil(d / 128) * 128) if force_pad else _kernel_width(d)
     block_q = min(_default_block_q(), sq)
 
     qm = _pad_to(q.reshape(b * h, sq, d), dp, 2)
@@ -435,7 +440,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: f
 def _flash_bwd(q, k, v, do, scale: float):
     b, h, sq, d = q.shape
     sk = k.shape[2]
-    dp = _kernel_width(d)
+    # The backward ALWAYS uses the explicit 128-lane pad: with the raw
+    # head dim the two dk/dv accumulating stores on a 40-lane minor axis
+    # sent Mosaic into a pathological compile (>45 min, round-3 A/B killed
+    # by timeout), while the padded bwd compiles in minutes and measured
+    # 9.39 steps/s on stage 2. The no-pad entry (_kernel_width) is a
+    # forward-path win only.
+    dp = int(np.ceil(d / 128) * 128)
     block_q = min(_default_block_q(), sq)
 
     qm = _pad_to(q.reshape(b * h, sq, d), dp, 2)
@@ -493,7 +504,12 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> j
 
 
 def _vjp_fwd(q, k, v, scale):
-    return _flash_fwd(q, k, v, scale), (q, k, v)
+    # Differentiated (training) path: FORCE the padded entry. The no-pad
+    # forward feeding the padded backward measured 17-25% slower end to
+    # end (stage2 9.39 -> 7.80, stage3 16.06 -> 12.00 steps/s — layout
+    # churn between the dense-40 fwd outputs/residuals and the 128-lane
+    # bwd), so inference-only gets the no-pad win (_kernel_width).
+    return _flash_fwd(q, k, v, scale, force_pad=True), (q, k, v)
 
 
 def _vjp_bwd(scale, residuals, g):

@@ -156,6 +156,37 @@ def test_flac_through_load_audio_and_prepare(tmp_path):
     assert float(np.abs(wav).max()) == pytest.approx(1.0, abs=0.01)  # peak-norm
 
 
+def test_read_audio_ffmpeg_fallback(tmp_path, monkeypatch):
+    """Unsupported containers route through the ffmpeg CLI when present
+    (fake ffmpeg on PATH) and raise a clear error when absent."""
+    from clap2diffusion_tpu.utils.audio_io import read_audio
+
+    # an "mp3" (really any non-RIFF/fLaC magic)
+    fake_src = tmp_path / "clip.mp3"
+    fake_src.write_bytes(b"ID3\x04" + b"\x00" * 64)
+    real_path = os.environ.get("PATH", "")
+
+    # no ffmpeg -> loud unsupported-container error
+    monkeypatch.setenv("PATH", str(tmp_path / "nobin"))
+    with pytest.raises(ValueError, match="unsupported audio container"):
+        read_audio(str(fake_src))
+
+    # fake ffmpeg that "decodes" by writing a known wav to the output path
+    ref = (0.25 * np.sin(np.linspace(0, 20 * np.pi, 4800))).astype(np.float32)
+    ref_wav = tmp_path / "decoded.wav"
+    write_wav(str(ref_wav), ref, 48_000)
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    ffmpeg = bindir / "ffmpeg"
+    # argv: -v error -y -i <src> -f wav <dst>  ->  dst is the last arg
+    ffmpeg.write_text(f"#!/bin/sh\nfor last; do :; done\ncp {ref_wav} \"$last\"\n")
+    ffmpeg.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{bindir}:{real_path}")
+    wav, sr = read_audio(str(fake_src))
+    assert sr == 48_000
+    np.testing.assert_allclose(wav, ref, atol=1e-4)  # 16-bit wav quantization
+
+
 def test_native_pcm_variants(tmp_path):
     """24-bit PCM decode through the native reader (when built)."""
     if not native_audio.native_available():
