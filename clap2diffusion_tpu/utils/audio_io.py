@@ -77,9 +77,11 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
 
     WAV decodes in-process (``read_wav``; [channels, samples] for stereo).
     FLAC decodes through the native loader (mono-averaged [samples]) —
-    requires ``make -C native``. Other containers (mp3/ogg/m4a) fall back
-    to the ffmpeg CLI when present, mirroring the reference's
-    librosa-reads-anything surface (reference scripts/prepare_data.py:16-31).
+    requires ``make -C native``. MP3 decodes through the native loader's
+    libmpg123 backend (system codec via dlopen) when available. Anything
+    else (ogg/m4a/...) falls back to the ffmpeg CLI when present,
+    mirroring the reference's librosa-reads-anything surface
+    (reference scripts/prepare_data.py:16-31).
     """
     with open(path, "rb") as f:
         magic = f.read(4)
@@ -88,13 +90,26 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
     if magic == b"fLaC":
         from clap2diffusion_tpu.utils.native_audio import decode_audio
 
-        out = decode_audio(path)
+        out = decode_audio(path)  # ValueError on a corrupt stream
         if out is None:
             raise ValueError(
                 f"{path}: FLAC decode needs the native loader — build it "
                 "with `make -C native` (no external dependencies)"
             )
         return out
+    is_mp3 = magic[:3] == b"ID3" or (
+        len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0
+    )
+    if is_mp3:
+        from clap2diffusion_tpu.utils.native_audio import decode_audio
+
+        try:
+            out = decode_audio(path)  # native lib + system libmpg123
+        except ValueError:
+            out = None
+        if out is not None:
+            return out
+        # no native lib / no system codec -> ffmpeg CLI fallback below
     return _read_via_ffmpeg(path, magic)
 
 

@@ -19,6 +19,8 @@
 #include <thread>
 #include <vector>
 
+#include <dlfcn.h>
+
 #include "flac_decoder.h"
 
 namespace {
@@ -198,15 +200,125 @@ bool load_flac(const char* path, Wav* out) {
   return true;
 }
 
+// MP3 decode through the system codec (libmpg123), loaded lazily with
+// dlopen so the library stays dependency-free when mp3 support is not
+// needed. Mirrors how the reference reaches mp3 via librosa -> audioread
+// -> system decoders (reference scripts/prepare_data.py:16-31).
+struct Mpg123Api {
+  void* lib = nullptr;
+  int (*init)() = nullptr;
+  void* (*make)(const char*, int*) = nullptr;
+  int (*open)(void*, const char*) = nullptr;
+  int (*getformat)(void*, long*, int*, int*) = nullptr;
+  int (*format_none)(void*) = nullptr;
+  int (*format)(void*, long, int, int) = nullptr;
+  int (*read)(void*, unsigned char*, size_t, size_t*) = nullptr;
+  int (*close)(void*) = nullptr;
+  void (*del)(void*) = nullptr;
+  bool ok = false;
+};
+
+const Mpg123Api& mpg123_api() {
+  static Mpg123Api api = [] {
+    Mpg123Api a;
+    a.lib = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!a.lib) a.lib = dlopen("libmpg123.so", RTLD_NOW | RTLD_LOCAL);
+    if (!a.lib) return a;
+    a.init = reinterpret_cast<int (*)()>(dlsym(a.lib, "mpg123_init"));
+    a.make = reinterpret_cast<void* (*)(const char*, int*)>(
+        dlsym(a.lib, "mpg123_new"));
+    a.open = reinterpret_cast<int (*)(void*, const char*)>(
+        dlsym(a.lib, "mpg123_open"));
+    a.getformat = reinterpret_cast<int (*)(void*, long*, int*, int*)>(
+        dlsym(a.lib, "mpg123_getformat"));
+    a.format_none =
+        reinterpret_cast<int (*)(void*)>(dlsym(a.lib, "mpg123_format_none"));
+    a.format = reinterpret_cast<int (*)(void*, long, int, int)>(
+        dlsym(a.lib, "mpg123_format"));
+    a.read = reinterpret_cast<int (*)(void*, unsigned char*, size_t, size_t*)>(
+        dlsym(a.lib, "mpg123_read"));
+    a.close = reinterpret_cast<int (*)(void*)>(dlsym(a.lib, "mpg123_close"));
+    a.del = reinterpret_cast<void (*)(void*)>(dlsym(a.lib, "mpg123_delete"));
+    a.ok = a.init && a.make && a.open && a.getformat && a.format_none &&
+           a.format && a.read && a.close && a.del && a.init() == 0;
+    return a;
+  }();
+  return api;
+}
+
+// mpg123's default (and guaranteed) output encoding: 16-bit signed.
+constexpr int kMpg123EncSigned16 = 0xD0;
+constexpr int kMpg123Done = -12;
+constexpr int kMpg123NewFormat = -11;
+
+bool load_mp3(const char* path, Wav* out) {
+  const Mpg123Api& m = mpg123_api();
+  if (!m.ok) return false;
+  int err = 0;
+  void* h = m.make(nullptr, &err);
+  if (!h) return false;
+  bool good = false;
+  long rate = 0;
+  int channels = 0, enc = 0;
+  if (m.open(h, path) == 0 && m.getformat(h, &rate, &channels, &enc) == 0 &&
+      rate > 0 && channels > 0) {
+    // pin s16 at the stream's own rate/channels so the byte layout is
+    // unambiguous across libmpg123 builds
+    m.format_none(h);
+    if (m.format(h, rate, channels, kMpg123EncSigned16) == 0) {
+      std::vector<int16_t> interleaved;
+      std::vector<unsigned char> buf(1 << 16);
+      for (;;) {
+        size_t done = 0;
+        int rc = m.read(h, buf.data(), buf.size(), &done);
+        if (done) {
+          const int16_t* p = reinterpret_cast<const int16_t*>(buf.data());
+          interleaved.insert(interleaved.end(), p, p + done / 2);
+        }
+        if (rc == kMpg123Done) {
+          good = !interleaved.empty();
+          break;
+        }
+        if (rc == kMpg123NewFormat) {
+          if (m.getformat(h, &rate, &channels, &enc) != 0) break;
+          continue;
+        }
+        if (rc != 0) break;
+      }
+      if (good) {
+        size_t frames = interleaved.size() / channels;
+        out->sample_rate = static_cast<int>(rate);
+        out->samples.resize(frames);
+        for (size_t i = 0; i < frames; ++i) {
+          float acc = 0.f;
+          for (int c = 0; c < channels; ++c)
+            acc += interleaved[i * channels + c] / 32768.f;
+          out->samples[i] = acc / channels;
+        }
+      }
+    }
+    m.close(h);
+  }
+  m.del(h);
+  return good;
+}
+
+bool looks_like_mp3(const unsigned char m4[4]) {
+  if (!memcmp(m4, "ID3", 3)) return true;  // ID3v2-tagged stream
+  return m4[0] == 0xFF && (m4[1] & 0xE0) == 0xE0;  // bare frame sync
+}
+
 // Container sniffing by magic bytes (extension-agnostic, like libsndfile).
 bool load_any(const char* path, Wav* out) {
-  char magic[4] = {0};
+  unsigned char magic[4] = {0};
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   size_t got = fread(magic, 1, 4, f);
   fclose(f);
   if (got != 4) return false;
   if (!memcmp(magic, "fLaC", 4)) return load_flac(path, out);
+  if (!memcmp(magic, "RIFF", 4)) return load_wav(path, out);
+  if (looks_like_mp3(magic)) return load_mp3(path, out);
   return load_wav(path, out);
 }
 

@@ -156,6 +156,54 @@ def test_flac_through_load_audio_and_prepare(tmp_path):
     assert float(np.abs(wav).max()) == pytest.approx(1.0, abs=0.01)  # peak-norm
 
 
+def test_mp3_decode_via_system_codec(tmp_path):
+    """MP3 round-trip: lame-encoded fixture (system libmp3lame via ctypes)
+    -> native loader's libmpg123 backend (dlopen). Lossy codec, so the
+    check is signal-level: recovered 440 Hz sine must correlate > 0.99
+    with the source after aligning the codec delay."""
+    if not native_audio.native_available():
+        pytest.skip("native lib not built")
+    from tests.mp3_fixture import write_mp3
+
+    sr = 44_100
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "tone.mp3")
+    if not write_mp3(p, x, sr):
+        pytest.skip("libmp3lame not available to build the fixture")
+
+    out = native_audio.decode_audio(p)
+    assert out is not None, "libmpg123 backend unavailable"
+    mono, got_sr = out
+    assert got_sr == sr
+    # length is advisory for a lossy container (lame pads frames +
+    # writes a Xing/LAME info frame) — within ~0.7 s of the source
+    assert abs(len(mono) - len(x)) < 30_000
+    # align via cross-correlation of a window, then check similarity
+    w = 8192
+    seg = mono[: len(x)]
+    corr = np.correlate(seg[: 4 * w], x[:w], mode="valid")
+    off = int(np.argmax(np.abs(corr)))
+    a = seg[off : off + 2 * w]
+    b = x[: 2 * w]
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    # |cos|: a pure periodic tone has phase-ambiguous alignment peaks
+    assert abs(cos) > 0.99, f"cosine {cos} at offset {off}"
+    # amplitude preserved
+    assert abs(float(np.abs(a).max()) - 0.5) < 0.05
+
+    # full read_audio dispatch reaches the same decode
+    from clap2diffusion_tpu.utils.audio_io import read_audio
+
+    mono2, sr2 = read_audio(p)
+    assert sr2 == sr and len(mono2) == len(mono)
+
+    # dataset-style load: resample+pad via the batch API
+    out = native_audio.load_audio(p, 48_000, 96_000)
+    assert out.shape == (96_000,)
+    assert float(np.abs(out[:40_000]).max()) > 0.3
+
+
 def test_read_audio_ffmpeg_fallback(tmp_path, monkeypatch):
     """Unsupported containers route through the ffmpeg CLI when present
     (fake ffmpeg on PATH) and raise a clear error when absent."""

@@ -263,6 +263,10 @@ def test_run_stage1_end_to_end(tmp_path, tiny_params):
     cfg = apply_overrides(cfg, [
         "train.stage1.grad_accum=1", "train.stage1.batch_size=2",
         "train.stage1.log_every=2", "train.stage1.save_every=3",
+        # log/save cadence is asserted below at chunk granularity — pin
+        # the chunk size (the production default of 50 would make this
+        # 4-step run a single chunk with a single log row)
+        "train.stage1.steps_per_call=2",
         "data.duration_s=0.5",
     ])
     root = str(tmp_path / "ds")
