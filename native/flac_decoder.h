@@ -122,7 +122,8 @@ inline bool read_residual(BitReader& br, uint32_t blocksize, uint32_t order,
   uint32_t parts = 1u << po;
   if ((blocksize % parts) != 0) return false;
   uint32_t psize = blocksize >> po;
-  if (psize <= order && parts == 1) return false;
+  // first partition holds psize - order samples; it must not underflow
+  if (psize <= order) return false;
   size_t idx = order;
   for (uint32_t p = 0; p < parts; ++p) {
     uint32_t count = psize - (p == 0 ? order : 0);

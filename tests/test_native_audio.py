@@ -69,18 +69,19 @@ def test_native_batch_and_fallback(tmp_path):
     assert float(np.abs(batch[0, 4800:]).max()) == 0.0  # zero-padded tail
 
 
-def _flac_roundtrip(tmp_path, kind, channels=1):
+def _flac_roundtrip(tmp_path, kind, channels=1, stereo_mode=None,
+                    partition_order=0, n=10_000):
     from tests.flac_fixture import write_flac
 
     rng = np.random.default_rng(5)
-    n = 10_000
     t = np.arange(n) / 48_000
     x = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.normal(size=n)
     x16 = np.clip(x * 32767, -32768, 32767).astype(np.int16)
     if channels == 2:
         x16 = np.stack([x16, (x16 // 2).astype(np.int16)])
-    p = str(tmp_path / f"{kind}{channels}.flac")
-    write_flac(p, x16, 48_000, kind=kind)
+    p = str(tmp_path / f"{kind}{channels}{stereo_mode}{partition_order}.flac")
+    write_flac(p, x16, 48_000, kind=kind, stereo_mode=stereo_mode,
+               partition_order=partition_order)
     out = native_audio.decode_audio(p)
     assert out is not None, "native lib with FLAC support required"
     mono, sr = out
@@ -104,6 +105,45 @@ def test_flac_decode_fixed_rice(tmp_path):
     if not native_audio.native_available():
         pytest.skip("native lib not built")
     _flac_roundtrip(tmp_path, "fixed1")
+
+
+def test_flac_decode_lpc(tmp_path):
+    """LPC subframes (the path real encoders actually emit): quantized
+    order-2 predictor, 12-bit coefficients, shift 10."""
+    if not native_audio.native_available():
+        pytest.skip("native lib not built")
+    _flac_roundtrip(tmp_path, "lpc2")
+
+
+def test_flac_decode_rice_partitions_and_escape(tmp_path):
+    """Partitioned residuals (order 2 -> 4 partitions per frame) and an
+    escape-to-raw partition (a +-20k-step random walk makes the ideal
+    Rice parameter saturate)."""
+    if not native_audio.native_available():
+        pytest.skip("native lib not built")
+    from tests.flac_fixture import write_flac
+
+    _flac_roundtrip(tmp_path, "fixed1", partition_order=2)
+    _flac_roundtrip(tmp_path, "lpc2", partition_order=1)
+
+    rng = np.random.default_rng(9)
+    walk = np.cumsum(rng.integers(-20_000, 20_000, size=6000))
+    x16 = (walk % 50_000 - 25_000).clip(-32_768, 32_767).astype(np.int16)
+    p = str(tmp_path / "escape.flac")
+    write_flac(p, x16, 48_000, kind="fixed1")
+    mono, sr = native_audio.decode_audio(p)
+    np.testing.assert_allclose(mono, x16.astype(np.float32) / 32768.0,
+                               atol=1e-6)
+
+
+def test_flac_decode_stereo_decorrelation_modes(tmp_path):
+    """left/side, right/side and mid/side joint-stereo frames, side channel
+    at bps+1 — every reconstruction branch of the decoder."""
+    if not native_audio.native_available():
+        pytest.skip("native lib not built")
+    for mode in ("left_side", "right_side", "mid_side"):
+        _flac_roundtrip(tmp_path, "verbatim", channels=2, stereo_mode=mode)
+        _flac_roundtrip(tmp_path, "fixed1", channels=2, stereo_mode=mode)
 
 
 def test_flac_decode_stereo_and_constant(tmp_path):
