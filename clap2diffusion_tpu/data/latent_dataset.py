@@ -163,11 +163,17 @@ class PrefetchLoader:
         num_shards: int = 1,
     ):
         """``shard_index``/``num_shards``: multi-host data sharding. Every
-        host shuffles the full index list with the SAME seed and takes the
-        strided slice ``order[shard_index::num_shards]`` — guaranteed
-        disjoint per step (not merely disjoint in expectation), the
-        analogue of the reference's seeded per-worker sampling
-        (reference data/dataset.py:351-360,417-418)."""
+        host shuffles the full index list with the SAME seed, truncates it
+        to a multiple of ``num_shards``, and takes the strided slice
+        ``order[shard_index::num_shards]`` — guaranteed disjoint per step
+        (not merely disjoint in expectation), the analogue of the
+        reference's seeded per-worker sampling (reference
+        data/dataset.py:351-360,417-418). The truncation makes every
+        shard the SAME size, so all hosts advance epochs in lockstep —
+        without it, hosts with one extra batch would drift onto different
+        epoch permutations, whose strided slices are NOT disjoint (review
+        r3 finding #1). The <= num_shards-1 dropped samples rotate with
+        the per-epoch reshuffle."""
         if not (0 <= shard_index < num_shards):
             raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
         self.dataset = dataset
@@ -180,8 +186,7 @@ class PrefetchLoader:
         self.num_shards = num_shards
 
     def _shard_size(self) -> int:
-        n = len(self.dataset)
-        return (n - self.shard_index + self.num_shards - 1) // self.num_shards
+        return len(self.dataset) // self.num_shards
 
     def __len__(self) -> int:
         n = self._shard_size()
@@ -200,8 +205,17 @@ class PrefetchLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + epoch_idx).shuffle(order)
-        order = order[self.shard_index :: self.num_shards]
+        usable = self._shard_size() * self.num_shards
+        order = order[:usable][self.shard_index :: self.num_shards]
         n_batches = len(self)
+        if n_batches == 0:
+            # a silent empty epoch would spin run_stage's while-loop forever
+            # while peer hosts block in collectives
+            raise ValueError(
+                f"shard {self.shard_index}/{self.num_shards} has "
+                f"{len(order)} samples — fewer than batch_size "
+                f"{self.batch_size}; shrink the batch or the shard count"
+            )
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
         def worker():

@@ -364,6 +364,20 @@ def load_pipeline(cfg: Config, path: str, dtype=None) -> "AudioToImagePipeline":
         raise ValueError(
             f"pipeline checkpoint at {path} is missing towers: {sorted(missing)}"
         )
+    # restore-as-saved skips orbax's structure check, so validate the six
+    # core towers against the active config explicitly — a checkpoint from
+    # a different geometry must fail HERE, not as an opaque shape error
+    # mid-generation (review r3 finding #6)
+    abstract = jax.eval_shape(lambda: init_params(cfg, seed=0))
+    for tower in sorted(required):
+        expect = jax.tree.map(lambda x: tuple(x.shape), abstract[tower])
+        got = jax.tree.map(lambda x: tuple(x.shape), params[tower])
+        if expect != got:
+            raise ValueError(
+                f"pipeline checkpoint tower {tower!r} does not match the "
+                f"active config's geometry (structure or shapes differ) — "
+                f"wrong --config for this checkpoint?"
+            )
     if dtype is not None:
         params = jax.tree.map(lambda x: x.astype(dtype), params)
     return AudioToImagePipeline(cfg, params=params)

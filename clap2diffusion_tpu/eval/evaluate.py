@@ -69,8 +69,12 @@ def run_evaluation(
         )
 
         vision = CLIPVisionEncoder(cfg=cfg.diffusion.clip_vision)
-        clip_vision_apply = jax.jit(
-            lambda px: vision.apply({"params": params["clip_vision"]}, px)
+        # params are jit ARGUMENTS: closing over them bakes the tower's
+        # weights into the program as constants (compile blowup +
+        # duplicated HBM on remote TPUs; same rule as train/trainer.py)
+        _vision_jit = jax.jit(lambda p, px: vision.apply({"params": p}, px))
+        clip_vision_apply = lambda px: _vision_jit(  # noqa: E731
+            params["clip_vision"], px
         )
         per_sample["clip_score"] = []
 
@@ -83,8 +87,9 @@ def run_evaluation(
         from clap2diffusion_tpu.models.inception_v3 import InceptionV3
 
         _inc = InceptionV3()
-        inception_apply = jax.jit(
-            lambda px: _inc.apply({"params": params["inception_v3"]}, px)
+        _inc_jit = jax.jit(lambda p, px: _inc.apply({"params": p}, px))
+        inception_apply = lambda px: _inc_jit(  # noqa: E731
+            params["inception_v3"], px
         )
 
     records = []
@@ -178,13 +183,22 @@ def run_evaluation(
                 summary["fid"] = M.fid_from_images(
                     image_arr, np.stack(refs), pool3_fn, batch_size=8
                 )
-            # Real Inception Score over the generated set's class posteriors.
-            logits = np.concatenate([
-                np.asarray(inception_apply(
-                    jnp.asarray(preprocess_images_inception(image_arr[i : i + 8]))
+            # Real Inception Score over the generated set's class
+            # posteriors. The tail batch pads up to 8 so every chunk hits
+            # the same compiled program (no per-remainder retrace).
+            chunks = []
+            for i in range(0, n, 8):
+                imgs = image_arr[i : i + 8]
+                k = len(imgs)
+                if k < 8:
+                    imgs = np.concatenate(
+                        [imgs, np.repeat(imgs[-1:], 8 - k, axis=0)]
+                    )
+                out = np.asarray(inception_apply(
+                    jnp.asarray(preprocess_images_inception(imgs))
                 )["logits"])
-                for i in range(0, n, 8)
-            ])
+                chunks.append(out[:k])
+            logits = np.concatenate(chunks)
             ex = np.exp(logits - logits.max(-1, keepdims=True))
             summary["inception_score"] = M.inception_score(ex / ex.sum(-1, keepdims=True))
 

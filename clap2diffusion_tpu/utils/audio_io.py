@@ -87,29 +87,22 @@ def read_audio(path: str) -> Tuple[np.ndarray, int]:
         magic = f.read(4)
     if magic == b"RIFF":
         return read_wav(path)
-    if magic == b"fLaC":
-        from clap2diffusion_tpu.utils.native_audio import decode_audio
-
-        out = decode_audio(path)  # ValueError on a corrupt stream
-        if out is None:
-            raise ValueError(
-                f"{path}: FLAC decode needs the native loader — build it "
-                "with `make -C native` (no external dependencies)"
-            )
-        return out
     is_mp3 = magic[:3] == b"ID3" or (
         len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0
     )
-    if is_mp3:
+    if magic == b"fLaC" or is_mp3:
         from clap2diffusion_tpu.utils.native_audio import decode_audio
 
         try:
-            out = decode_audio(path)  # native lib + system libmpg123
+            out = decode_audio(path)  # in-repo FLAC / libmpg123 mp3
         except ValueError:
+            if magic == b"fLaC":
+                raise  # corrupt FLAC stream: fail loudly, not via ffmpeg
             out = None
         if out is not None:
             return out
-        # no native lib / no system codec -> ffmpeg CLI fallback below
+        # native lib not built (or no system mp3 codec) -> same ffmpeg
+        # CLI fallback every other container gets
     return _read_via_ffmpeg(path, magic)
 
 

@@ -40,7 +40,7 @@ def load_library() -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(path)
         lib.c2d_abi_version.restype = ctypes.c_int
-        if lib.c2d_abi_version() not in (1, 2):
+        if lib.c2d_abi_version() not in (1, 2, 3):
             return None
         lib.c2d_load_audio.restype = ctypes.c_int
         lib.c2d_load_audio.argtypes = [
@@ -59,6 +59,14 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
                 ctypes.c_longlong, ctypes.POINTER(ctypes.c_int),
             ]
+        if lib.c2d_abi_version() >= 3:
+            lib.c2d_decode_audio_alloc.restype = ctypes.c_longlong
+            lib.c2d_decode_audio_alloc.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.c2d_free.restype = None
+            lib.c2d_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -70,21 +78,34 @@ def native_available() -> bool:
 
 
 def decode_audio(path: str):
-    """Decode WAV/FLAC at native sample rate -> (mono float32 [n], sr), or
-    None when the v2 library isn't available. Two-pass: the first call
-    sizes the buffer (FLAC's STREAMINFO may omit the total)."""
+    """Decode WAV/FLAC/MP3 at native sample rate -> (mono float32 [n], sr),
+    or None when the library isn't available. Uses the single-pass alloc
+    API (v3); the v2 two-pass protocol is the compatibility fallback."""
     lib = load_library()
     if lib is None or lib.c2d_abi_version() < 2:
         return None
     sr = ctypes.c_int(0)
+    if lib.c2d_abi_version() >= 3:
+        buf = ctypes.POINTER(ctypes.c_float)()
+        n = lib.c2d_decode_audio_alloc(path.encode(), ctypes.byref(buf),
+                                       ctypes.byref(sr))
+        if n < 0:
+            raise ValueError(f"{path}: native audio decode failed")
+        try:
+            out = np.ctypeslib.as_array(buf, shape=(int(n),)).copy()
+        finally:
+            lib.c2d_free(buf)
+        return out, int(sr.value)
     n = lib.c2d_decode_audio(path.encode(), None, 0, ctypes.byref(sr))
     if n < 0:
         raise ValueError(f"{path}: native audio decode failed")
     out = np.zeros(int(n), np.float32)
-    lib.c2d_decode_audio(
+    n2 = lib.c2d_decode_audio(
         path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         int(n), ctypes.byref(sr),
     )
+    if n2 != n:  # file changed / IO error between the passes
+        raise ValueError(f"{path}: native audio decode failed on fill pass")
     return out, int(sr.value)
 
 

@@ -13,6 +13,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <numeric>
 #include <string>
@@ -322,10 +323,20 @@ bool load_any(const char* path, Wav* out) {
   return load_wav(path, out);
 }
 
+// load_any that can never throw across the C ABI (a bad_alloc or
+// length_error from a corrupt stream must fail the FILE, not the process).
+bool load_any_noexcept(const char* path, Wav* out) noexcept {
+  try {
+    return load_any(path, out);
+  } catch (...) {
+    return false;
+  }
+}
+
 void prepare_one(const char* path, int target_sr, int target_len, float peak_norm,
                  float* out, int* status) {
   Wav wav;
-  if (!load_any(path, &wav)) {
+  if (!load_any_noexcept(path, &wav)) {
     std::fill(out, out + target_len, 0.f);
     *status = 1;  // zero-fallback, mirroring the reference's dataset behavior
     return;
@@ -387,14 +398,15 @@ int c2d_load_audio_batch(const char* joined_paths, int n, int target_sr,
   return std::accumulate(statuses, statuses + n, 0);
 }
 
-// Decode one file (WAV or FLAC, sniffed by magic) at its NATIVE sample rate,
-// mono-averaged float32. Writes up to `cap` samples into `out`, stores the
-// sample rate in *sr, and returns the TOTAL decoded length (callers size a
-// buffer with cap=0 then call again), or -1 on decode failure.
+// Decode one file (WAV/FLAC/MP3, sniffed by magic) at its NATIVE sample
+// rate, mono-averaged float32. Writes up to `cap` samples into `out`,
+// stores the sample rate in *sr, and returns the TOTAL decoded length
+// (callers size a buffer with cap=0 then call again), or -1 on decode
+// failure. Prefer c2d_decode_audio_alloc — it decodes once, not twice.
 long long c2d_decode_audio(const char* path, float* out, long long cap,
                            int* sr) {
   Wav wav;
-  if (!load_any(path, &wav)) return -1;
+  if (!load_any_noexcept(path, &wav)) return -1;
   *sr = wav.sample_rate;
   long long n = static_cast<long long>(wav.samples.size());
   long long w = std::min(n, std::max<long long>(cap, 0));
@@ -402,8 +414,23 @@ long long c2d_decode_audio(const char* path, float* out, long long cap,
   return n;
 }
 
-// Version tag for ABI sanity checks from Python. 2 = adds FLAC decode +
-// c2d_decode_audio.
-int c2d_abi_version() { return 2; }
+// Single-pass variant: decodes once into a malloc'd buffer the caller
+// releases with c2d_free. Returns the sample count, or -1 on failure.
+long long c2d_decode_audio_alloc(const char* path, float** out, int* sr) {
+  Wav wav;
+  if (!load_any_noexcept(path, &wav)) return -1;
+  float* buf = static_cast<float*>(malloc(wav.samples.size() * sizeof(float)));
+  if (!buf) return -1;
+  std::copy(wav.samples.begin(), wav.samples.end(), buf);
+  *out = buf;
+  *sr = wav.sample_rate;
+  return static_cast<long long>(wav.samples.size());
+}
+
+void c2d_free(float* p) { free(p); }
+
+// Version tag for ABI sanity checks from Python. 2 = FLAC decode +
+// c2d_decode_audio; 3 = mp3 backend + c2d_decode_audio_alloc/c2d_free.
+int c2d_abi_version() { return 3; }
 
 }  // extern "C"

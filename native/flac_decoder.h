@@ -18,6 +18,7 @@
 
 #pragma once
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -242,8 +243,18 @@ inline bool decode_stream(const uint8_t* bytes, size_t size, StreamInfo* info,
   std::vector<std::vector<int64_t>> chans(nch_stream);
   float scale = 1.0f / static_cast<float>(1u << (info->bits_per_sample - 1));
   mono->clear();
-  if (info->total_samples)
-    mono->reserve(static_cast<size_t>(info->total_samples));
+  if (info->total_samples) {
+    // reserve() is only a hint — clamp it so a fuzzed 36-bit STREAMINFO
+    // total (up to 2^36-1 -> a 256 GB reserve -> std::length_error
+    // aborting the host process) cannot outrun what the file could
+    // plausibly hold (compressed bytes bound decoded samples except for
+    // constant frames, which push_back growth absorbs).
+    uint64_t plausible = static_cast<uint64_t>(size) * 8 /
+                             (info->bits_per_sample ? info->bits_per_sample : 16) +
+                         (1u << 16);
+    mono->reserve(static_cast<size_t>(
+        std::min<uint64_t>(info->total_samples, plausible)));
+  }
 
   while (br.ok && !br.eof()) {
     size_t frame_start = br.bitpos;

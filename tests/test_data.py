@@ -146,6 +146,23 @@ def test_prefetch_loader_disjoint_shards(fixture_root):
     with _pytest.raises(ValueError, match="shard_index"):
         PrefetchLoader(ds, batch_size=1, shard_index=2, num_shards=2)
 
+    # uneven split (6 samples, 4 shards): every shard gets the SAME
+    # truncated size so hosts advance epochs in lockstep — unequal sizes
+    # would drift hosts onto different epoch permutations, whose strided
+    # slices are NOT disjoint (review r3 finding #1)
+    l4 = [PrefetchLoader(ds, batch_size=1, seed=7, shard_index=i,
+                         num_shards=4, drop_last=False) for i in range(4)]
+    sets = [{b["audio_id"][0] for b in ld.epoch(0)} for ld in l4]
+    assert all(len(ld) == 1 for ld in l4)
+    assert all(len(s) == 1 for s in sets)
+    assert len(set().union(*sets)) == 4  # pairwise disjoint
+    # a shard smaller than the batch raises instead of silently yielding
+    # nothing (which would hang the multi-host training loop)
+    tiny = PrefetchLoader(ds, batch_size=8, seed=7, shard_index=0,
+                          num_shards=2)
+    with _pytest.raises(ValueError, match="fewer than batch_size"):
+        next(tiny.epoch(0))
+
 
 @pytest.mark.slow
 def test_encode_latents_tool(tmp_path):

@@ -88,6 +88,12 @@ def bench(stage: int, steps: int) -> None:
             marginal = (b["step"] - a["step"]) / (b["time"] - a["time"])
         else:
             marginal = steps / wall
+            print(
+                f"WARNING: only {len(rows)} log rows — rate below INCLUDES "
+                "compile (run with --steps >= 3*log_every for a clean "
+                "marginal number)",
+                flush=True,
+            )
         tool = TOOL_PATH_STEPS_S.get(stage)
         ratio = f" = {marginal / tool:.0%} of tool-path {tool}" if tool else ""
         print(
@@ -103,7 +109,9 @@ def bench(stage: int, steps: int) -> None:
 
 def main():
     stage = int(sys.argv[sys.argv.index("--stage") + 1]) if "--stage" in sys.argv else 2
-    steps = int(sys.argv[sys.argv.index("--steps") + 1]) if "--steps" in sys.argv else 125
+    # default 150 = 3 x log_every(50): rows at 50/100/150, so the marginal
+    # window never includes the compile chunk
+    steps = int(sys.argv[sys.argv.index("--steps") + 1]) if "--steps" in sys.argv else 150
     bench(stage, steps)
 
 
