@@ -45,6 +45,22 @@ def process_audio_file(
         return False
 
 
+# Source containers prepare can ingest, in preference order. The reference
+# only globs {id}.wav (prepare_data.py:100) even though librosa would read
+# more; with in-repo flac/mp3 decode (+ ffmpeg CLI for the rest) we widen
+# the search so an unconverted AudioCaps dump prepares directly.
+SOURCE_EXTENSIONS = (".wav", ".flac", ".mp3", ".m4a", ".ogg", ".opus", ".webm")
+
+
+def find_source(audio_src_dir: str, sid: str) -> Optional[str]:
+    """First existing `{sid}{ext}` under audio_src_dir, in SOURCE_EXTENSIONS order."""
+    for ext in SOURCE_EXTENSIONS:
+        cand = os.path.join(audio_src_dir, f"{sid}{ext}")
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
 def prepare_audiocaps(
     csv_path: str,
     audio_src_dir: str,
@@ -70,9 +86,9 @@ def prepare_audiocaps(
     for row in rows:
         sid = row.get("youtube_id") or row.get("id") or row.get("audiocap_id")
         caption = row.get("caption", "")
-        src = os.path.join(audio_src_dir, f"{sid}.wav")
+        src = find_source(audio_src_dir, sid)
         dst = str(out / "audio" / f"{sid}.wav")
-        if os.path.exists(src) and process_audio_file(src, dst, target_sr):
+        if src is not None and process_audio_file(src, dst, target_sr):
             samples.append({"id": sid, "caption": caption})
 
     rng = np.random.RandomState(seed)

@@ -196,6 +196,40 @@ def test_flac_through_load_audio_and_prepare(tmp_path):
     assert float(np.abs(wav).max()) == pytest.approx(1.0, abs=0.01)  # peak-norm
 
 
+def test_prepare_audiocaps_finds_non_wav_sources(tmp_path):
+    """prepare_audiocaps discovers {id}.flac when no {id}.wav exists
+    (the reference only globs .wav, prepare_data.py:100; with in-repo
+    multi-format decode the search is widened via SOURCE_EXTENSIONS)."""
+    if not native_audio.native_available():
+        pytest.skip("native lib not built")
+    from tests.flac_fixture import write_flac
+
+    from clap2diffusion_tpu.data.prepare import find_source, prepare_audiocaps
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    x16 = np.clip(
+        0.5 * np.sin(2 * np.pi * 440 * np.arange(24_000) / 24_000) * 32767,
+        -32768, 32767,
+    ).astype(np.int16)
+    write_flac(str(src_dir / "vid_a.flac"), x16, 24_000, kind="fixed1")
+    assert find_source(str(src_dir), "vid_a").endswith("vid_a.flac")
+    assert find_source(str(src_dir), "vid_missing") is None
+
+    csv_path = tmp_path / "audiocaps.csv"
+    csv_path.write_text(
+        "youtube_id,caption,start_time\nvid_a,a tone plays,0\nvid_b,absent,0\n"
+    )
+    out_root = tmp_path / "out"
+    meta = prepare_audiocaps(str(csv_path), str(src_dir), str(out_root))
+    ids = [s["id"] for s in meta["samples"]]
+    assert ids == ["vid_a"]  # vid_b has no source in any container
+    from clap2diffusion_tpu.utils.audio_io import read_wav
+
+    wav, sr = read_wav(str(out_root / "audio" / "vid_a.wav"))
+    assert sr == 48_000 and wav.shape == (480_000,)  # 10 s @ 48 kHz
+
+
 def test_mp3_decode_via_system_codec(tmp_path):
     """MP3 round-trip: lame-encoded fixture (system libmp3lame via ctypes)
     -> native loader's libmpg123 backend (dlopen). Lossy codec, so the
