@@ -52,7 +52,12 @@ def main():
     log(f"init_params: {time.time() - t0:.1f}s")
 
     rng = np.random.default_rng(0)
-    wav = (rng.normal(size=cfg.clap.frontend.num_samples) * 0.1).astype(np.float32)
+    # PCM16 input — what a real WAV corpus contains and what load_audio
+    # returns for mono 48 kHz 16-bit sources; uploads half the bytes of
+    # float32 and is dequantized + peak-normalized on device.
+    wav = (rng.normal(size=cfg.clap.frontend.num_samples) * 0.1 * 32767.0).clip(
+        -32768, 32767
+    ).astype(np.int16)
     text_ids = rng.integers(0, 49_000, size=(1, 77)).astype(np.int32)
 
     # Warmup / compile

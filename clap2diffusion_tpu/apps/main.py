@@ -96,17 +96,18 @@ def cmd_infer(args) -> int:
         import os
 
         wavs = sorted(glob.glob(os.path.join(args.audio_dir, "*.wav")))
-        for path in wavs:
-            wav = pipe.load_audio(path)
-            img = pipe.generate(
-                waveform=wav, text_ids=tok(args.text or ""), uncond_ids=tok(""),
-                num_steps=args.steps, guidance_scale=args.cfg,
-                norm_target=args.norm, model_type=args.model_type,
-                seed=args.seed,
-            )[0]
+        # pipelined: upload/download of neighbouring files overlaps device
+        # compute (pipeline.generate_stream) instead of serializing per image
+        reqs = ({"waveform": pipe.load_audio(p)} for p in wavs)
+        stream = pipe.generate_stream(
+            reqs, text_ids=tok(args.text or ""), uncond_ids=tok(""),
+            num_steps=args.steps, guidance_scale=args.cfg,
+            norm_target=args.norm, model_type=args.model_type, seed=args.seed,
+        )
+        for path, img in zip(wavs, stream):
             stem = os.path.splitext(os.path.basename(path))[0]
             out = args.output.replace(".png", f"_{stem}.png")
-            Image.fromarray(np.asarray(img)).save(out)
+            Image.fromarray(np.asarray(img[0])).save(out)
             print(f"wrote {out}")
         return 0
 

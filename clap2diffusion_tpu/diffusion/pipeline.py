@@ -159,7 +159,21 @@ class AudioToImagePipeline:
     # -- host-side frontends -------------------------------------------------
 
     def load_audio(self, path: str) -> np.ndarray:
-        from clap2diffusion_tpu.utils.audio_io import peak_normalize, read_audio
+        from clap2diffusion_tpu.models.clap.frontend import fit_to_length
+        from clap2diffusion_tpu.utils.audio_io import (
+            peak_normalize,
+            read_audio,
+            read_wav_pcm16,
+        )
+
+        # PCM16 fast path: mono 16-bit WAV at the target rate stays int16
+        # end-to-end — half the host->device bytes of float32 (the tunnel
+        # upload is a measurable slice of serving latency, BENCH_NOTES.md),
+        # dequantized + peak-normalized on device inside _generate_jit.
+        # Lossless: x_i16/peak == peak_normalize(x_i16/32768).
+        pcm = read_wav_pcm16(path)
+        if pcm is not None and pcm[1] == self.cfg.clap.frontend.sample_rate:
+            return fit_to_length(pcm[0], self.cfg.clap.frontend.num_samples)
 
         wav, sr = read_audio(path)
         wav = peak_normalize(wav)  # (reference scripts/inference.py:73-83)
@@ -229,6 +243,13 @@ class AudioToImagePipeline:
         # (a separate encode call costs an extra host round-trip).
         clap_emb = None
         if waveform is not None:
+            if waveform.dtype == jnp.int16:
+                # PCM16 upload path (see load_audio): dequantize and
+                # peak-normalize on device. Dividing the int16 samples by
+                # their own peak equals peak_normalize(x/32768) exactly.
+                wf = waveform.astype(jnp.float32)
+                peak = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)
+                waveform = wf / jnp.maximum(peak, 1.0)
             mel = log_mel_spectrogram(waveform, self.cfg.clap.frontend)
             clap_emb = self.m.clap_audio.apply(
                 {"params": params["clap_audio"]}, mel
@@ -274,7 +295,16 @@ class AudioToImagePipeline:
 
     # -- public API ----------------------------------------------------------
 
-    def generate(
+    def generate(self, *args, **kw) -> np.ndarray:
+        """Generate images [B, H, W, 3] uint8 (blocking).
+
+        Defaults mirror the reference CLI: 50 steps, CFG 7.5, Norm-60
+        (reference scripts/inference.py:107-108,32). Same signature as
+        ``_dispatch_generate``; this materializes the result on host.
+        """
+        return np.asarray(self._dispatch_generate(*args, **kw))
+
+    def _dispatch_generate(
         self,
         waveform: Optional[np.ndarray] = None,
         text_ids: Optional[np.ndarray] = None,
@@ -287,12 +317,10 @@ class AudioToImagePipeline:
         model_type: str = "hierarchical",
         seed: int = 0,
         batch: int = 1,
-    ) -> np.ndarray:
-        """Generate images [B, H, W, 3] uint8.
-
-        Defaults mirror the reference CLI: 50 steps, CFG 7.5, Norm-60
-        (reference scripts/inference.py:107-108,32).
-        """
+    ) -> jax.Array:
+        """Asynchronous ``generate``: prepares args and dispatches the one
+        jitted program, returning the on-device image without fetching it
+        (dispatch itself is ~10 ms; see ``generate_stream``)."""
         sch = self.cfg.diffusion.scheduler
         num_steps = num_steps or sch.num_inference_steps
         guidance_scale = (
@@ -314,11 +342,13 @@ class AudioToImagePipeline:
         # numpy args ride along with the one _generate_jit dispatch.
         wav = None
         if waveform is not None:
-            wav = np.asarray(waveform, np.float32)
+            wav = np.asarray(waveform)
+            if wav.dtype != np.int16:  # int16 rides through (PCM16 path)
+                wav = wav.astype(np.float32)
             if wav.ndim == 1:
                 wav = wav[None]
 
-        img = self._generate_jit(
+        return self._generate_jit(
             self.params,
             wav,
             np.asarray(text_ids, np.int32),
@@ -331,7 +361,28 @@ class AudioToImagePipeline:
             np.float32(norm_target),
             np.float32(temperature),
         )
-        return np.asarray(img)
+
+    def generate_stream(self, requests, *, depth: int = 2, **shared):
+        """Pipelined multi-image generation; yields uint8 images in order.
+
+        ``requests`` is an iterable of per-image ``generate`` kwarg dicts
+        (``waveform``, ``text_ids``, ``seed``, ...), each merged over the
+        ``shared`` kwargs. Device dispatch is asynchronous (~10 ms), so
+        keeping ``depth`` requests in flight overlaps one request's
+        waveform upload and image download with its neighbours' device
+        compute — on a tunneled backend those transfers are ~10-15% of
+        per-image wall time (BENCH_NOTES.md), which a sequential
+        ``generate`` loop pays serialized per image.
+        """
+        from collections import deque
+
+        in_flight: deque = deque()
+        for req in requests:
+            in_flight.append(self._dispatch_generate(**dict(shared, **req)))
+            if len(in_flight) >= max(1, depth):
+                yield np.asarray(in_flight.popleft())
+        while in_flight:
+            yield np.asarray(in_flight.popleft())
 
 
 def save_pipeline(path: str, params: Dict[str, Any]) -> str:

@@ -141,6 +141,19 @@ def log_mel_spectrogram(waveform: jax.Array, cfg: AudioFrontendConfig | None = N
     return _log_mel_impl(waveform, cfg or AudioFrontendConfig())
 
 
+def fit_to_length(x: np.ndarray, target: int) -> np.ndarray:
+    """Repeatpad shorter audio / crop longer audio to ``target`` samples
+    (dtype-preserving; the unfused feature extractor's "repeatpad" rule)."""
+    if len(x) < target:
+        if len(x) > 0:
+            n_repeat = target // len(x)
+            x = np.tile(x, max(n_repeat, 1))
+        x = np.pad(x, (0, target - len(x)))
+    elif len(x) > target:
+        x = x[:target]
+    return x
+
+
 def prepare_waveform(
     waveform: np.ndarray, sample_rate: int, cfg: AudioFrontendConfig | None = None
 ) -> np.ndarray:
@@ -158,12 +171,4 @@ def prepare_waveform(
         from clap2diffusion_tpu.utils.audio_io import resample_poly
 
         x = resample_poly(x, sample_rate, cfg.sample_rate)
-    target = cfg.num_samples
-    if len(x) < target:
-        if len(x) > 0:
-            n_repeat = target // len(x)
-            x = np.tile(x, max(n_repeat, 1))
-        x = np.pad(x, (0, target - len(x)))
-    elif len(x) > target:
-        x = x[:target]
-    return x
+    return fit_to_length(x, cfg.num_samples)

@@ -72,6 +72,42 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return x, sr
 
 
+def read_wav_pcm16(path: str) -> Tuple[np.ndarray, int] | None:
+    """Raw-PCM16 fast path: mono 16-bit PCM WAV -> (int16 [samples], sr).
+
+    Returns ``None`` for anything that needs conversion (other formats,
+    bit depths, or multi-channel). Keeping the samples int16 lets the
+    serving path upload half the bytes of float32 and dequantize on
+    device — lossless for PCM16 sources, which is what AudioCaps-style
+    corpora (and our own ``prepare`` output) contain.
+    """
+    try:
+        with open(path, "rb") as f:
+            header = f.read(12)
+            if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+                return None
+            fmt = None
+            data = None
+            while True:
+                chunk = f.read(8)
+                if len(chunk) < 8:
+                    break
+                cid, size = chunk[:4], struct.unpack("<I", chunk[4:])[0]
+                payload = f.read(size + (size & 1))[:size]
+                if cid == b"fmt ":
+                    fmt = struct.unpack("<HHIIHH", payload[:16])
+                elif cid == b"data":
+                    data = payload
+    except OSError:
+        return None
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, sr, _, _, bits = fmt
+    if audio_format not in (1, 0xFFFE) or bits != 16 or channels != 1:
+        return None
+    return np.frombuffer(data, dtype="<i2"), sr
+
+
 def read_audio(path: str) -> Tuple[np.ndarray, int]:
     """Container-sniffing decode -> (float32 samples, sr).
 

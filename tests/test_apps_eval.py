@@ -172,6 +172,27 @@ def test_cli_infer_audio_dir(tmp_path):
     assert (tmp_path / "img_x.png").exists() and (tmp_path / "img_y.png").exists()
 
 
+def test_generate_stream_matches_sequential():
+    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
+    from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
+    from tests.test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    pipe = AudioToImagePipeline(cfg, seed=0)
+    tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
+    rng = np.random.default_rng(0)
+    wavs = [
+        (rng.normal(size=cfg.clap.frontend.num_samples) * 0.2).astype(np.float32)
+        for _ in range(3)
+    ]
+    reqs = [{"waveform": w, "seed": i} for i, w in enumerate(wavs)]
+    shared = dict(text_ids=tok("storm"), uncond_ids=tok(""), num_steps=2)
+    streamed = list(pipe.generate_stream(iter(reqs), depth=2, **shared))
+    assert len(streamed) == 3
+    for req, img in zip(reqs, streamed):
+        np.testing.assert_array_equal(img, pipe.generate(**req, **shared))
+
+
 @pytest.mark.slow
 def test_http_server_generate(tmp_path):
     """stdlib HTTP serving layer: health check + full generate round-trip."""

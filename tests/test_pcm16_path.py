@@ -1,0 +1,90 @@
+"""PCM16 upload path (fast tier).
+
+Serving latency on the tunneled backend is partly host->device transfer
+(BENCH_NOTES.md: the float32 waveform upload is a measurable slice of
+p50), so mono 16-bit PCM WAV sources stay int16 end-to-end: load_audio
+returns raw int16 samples, ``generate`` uploads half the bytes, and the
+device dequantizes + peak-normalizes inside the one jitted program.
+These tests pin (a) the reader fast path, (b) the pipeline equivalence
+int16 vs float32 — the two entries must produce the same image.
+"""
+
+import numpy as np
+import pytest
+
+from clap2diffusion_tpu.utils.audio_io import (
+    peak_normalize,
+    read_wav_pcm16,
+    write_wav,
+)
+
+
+def _sine(n=24_000, sr=48_000):
+    t = np.arange(n) / sr
+    return (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+
+def test_read_wav_pcm16_roundtrip(tmp_path):
+    x = _sine()
+    p = str(tmp_path / "mono.wav")
+    write_wav(p, x, 48_000)
+    out = read_wav_pcm16(p)
+    assert out is not None
+    pcm, sr = out
+    assert pcm.dtype == np.int16 and sr == 48_000
+    expected = (np.clip(x, -1, 1) * 32767.0).astype(np.int16)
+    np.testing.assert_array_equal(pcm, expected)
+
+
+def test_read_wav_pcm16_rejects_stereo(tmp_path):
+    x = np.stack([_sine(), -_sine()])  # [channels, samples]
+    p = str(tmp_path / "stereo.wav")
+    write_wav(p, x, 48_000)
+    assert read_wav_pcm16(p) is None
+
+
+def test_load_audio_returns_int16_for_pcm16_sources(tmp_path):
+    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
+    from tests.test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    pipe = AudioToImagePipeline(cfg, seed=0)
+    p = str(tmp_path / "in.wav")
+    write_wav(p, _sine(n=30_000), 48_000)  # longer than the 0.5 s target
+    wav = pipe.load_audio(p)
+    assert wav.dtype == np.int16
+    assert wav.shape == (cfg.clap.frontend.num_samples,)
+    # a non-target-rate source falls back to the float32 resample path
+    write_wav(p, _sine(), 44_100)
+    assert pipe.load_audio(p).dtype == np.float32
+
+
+def test_generate_int16_matches_float32():
+    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
+    from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
+    from tests.test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    pipe = AudioToImagePipeline(cfg, seed=0)
+    tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
+
+    rng = np.random.default_rng(3)
+    pcm = (rng.normal(size=cfg.clap.frontend.num_samples) * 8000).clip(
+        -32768, 32767
+    ).astype(np.int16)
+    kw = dict(text_ids=tok("a test sound"), uncond_ids=tok(""),
+              num_steps=2, seed=5)
+    img_i16 = pipe.generate(waveform=pcm, **kw)
+    img_f32 = pipe.generate(
+        waveform=peak_normalize(pcm.astype(np.float32) / 32768.0), **kw
+    )
+    assert img_i16.dtype == np.uint8 and img_i16.shape == img_f32.shape
+    # device dequant+normalize vs host peak_normalize differ only by the
+    # host eps (1e-9 relative) — identical after uint8 rounding, up to
+    # rare one-count boundary flips.
+    diff = np.abs(img_i16.astype(np.int32) - img_f32.astype(np.int32))
+    assert float(diff.mean()) < 0.05 and int(diff.max()) <= 1
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v"])
