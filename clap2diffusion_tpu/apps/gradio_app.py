@@ -31,7 +31,8 @@ def build_generator(cfg: Config):
     pipe = AudioToImagePipeline(cfg)
     tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
 
-    def generate(audio_path, prompt, model_name, norm_value, steps, cfg_scale, seed):
+    def generate(audio_path, prompt, model_name, norm_value, steps, cfg_scale,
+                 seed, sampler="ddim"):
         wav = pipe.load_audio(audio_path) if audio_path else None
         text_ids = tok(prompt or "")
         img = pipe.generate(
@@ -43,10 +44,11 @@ def build_generator(cfg: Config):
             norm_target=float(norm_value),
             model_type=_MODEL_TYPES.get(model_name, "hierarchical"),
             seed=int(seed),
+            sampler=str(sampler),
         )[0]
         info = (
             f"model={model_name} steps={int(steps)} cfg={cfg_scale} "
-            f"norm={norm_value} seed={int(seed)}"
+            f"norm={norm_value} seed={int(seed)} sampler={sampler}"
         )
         return np.asarray(img), info
 
@@ -75,7 +77,9 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
                     list(_MODEL_TYPES), value="Hierarchical V4", label="Model"
                 )
                 norm = gr.Slider(10, 200, value=60, label="Audio norm target")
-                steps = gr.Slider(20, 100, value=50, step=1, label="DDIM steps")
+                steps = gr.Slider(10, 100, value=50, step=1, label="Steps")
+                sampler = gr.Dropdown(["ddim", "dpmpp_2m"], value="ddim",
+                                      label="Sampler (dpmpp_2m: ~20 steps)")
                 cfg_s = gr.Slider(1.0, 20.0, value=7.5, label="CFG scale")
                 seed = gr.Number(value=42, precision=0, label="Seed")
                 btn = gr.Button("Generate")
@@ -83,7 +87,9 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
                 image = gr.Image(label="Generated image")
                 info = gr.Textbox(label="Generation info")
         btn.click(
-            generate, [audio, prompt, model, norm, steps, cfg_s, seed], [image, info]
+            generate,
+            [audio, prompt, model, norm, steps, cfg_s, seed, sampler],
+            [image, info],
         )
 
     auth = None

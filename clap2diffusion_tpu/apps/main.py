@@ -103,6 +103,7 @@ def cmd_infer(args) -> int:
             reqs, text_ids=tok(args.text or ""), uncond_ids=tok(""),
             num_steps=args.steps, guidance_scale=args.cfg,
             norm_target=args.norm, model_type=args.model_type, seed=args.seed,
+            sampler=args.sampler,
         )
         for path, img in zip(wavs, stream):
             stem = os.path.splitext(os.path.basename(path))[0]
@@ -124,6 +125,7 @@ def cmd_infer(args) -> int:
         model_type=args.model_type,
         seed=args.seed,
         batch=args.batch,
+        sampler=args.sampler,
     )
     for i, img in enumerate(images):
         out = args.output if args.batch == 1 else args.output.replace(
@@ -240,6 +242,10 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--checkpoint", default=None,
                     help="orbax pipeline checkpoint (save_pipeline / "
                          "tools/convert_checkpoints.py output)")
+    pi.add_argument("--sampler", default=None,
+                    choices=["ddim", "dpmpp_2m"],
+                    help="sampling algorithm (default: config; dpmpp_2m "
+                         "reaches DDIM-50 quality in ~20 steps)")
     pi.add_argument("--model-type", default="hierarchical",
                     choices=["hierarchical", "sonic", "baseline", "audio_tokens"])
     pi.add_argument("--stage-checkpoint", default=None,

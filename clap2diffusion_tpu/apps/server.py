@@ -6,7 +6,7 @@ this provides the same serving surface with zero dependencies:
 
     POST /generate   JSON {audio_b64?: wav bytes, text?: str, steps?: int,
                            cfg?: float, norm?: float, seed?: int,
-                           model_type?: str}
+                           model_type?: str, sampler?: str}
                      -> JSON {image_b64: png bytes, info: {...}}
     GET  /healthz    -> 200 "ok"   (the Docker healthcheck target)
 
@@ -57,6 +57,7 @@ class InferenceService:
             "norm_target": float(req.get("norm", self.cfg.condition.audio_norm_target)),
             "model_type": str(req.get("model_type", "hierarchical")),
             "seed": int(req.get("seed", 0)),
+            "sampler": str(req.get("sampler", self.cfg.diffusion.scheduler.sampler)),
         }
         with self._lock:
             img = self.pipe.generate(
@@ -77,6 +78,7 @@ class InferenceService:
                 "norm": params["norm_target"],
                 "model_type": params["model_type"],
                 "seed": params["seed"],
+                "sampler": params["sampler"],
             },
         }
 

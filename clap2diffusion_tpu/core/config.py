@@ -240,6 +240,10 @@ class SchedulerConfig:
     # Inference defaults (reference scripts/inference.py:107-108)
     num_inference_steps: int = 50
     guidance_scale: float = 7.5
+    # "ddim" (reference contract) or "dpmpp_2m" (second-order multistep:
+    # comparable quality at ~20 steps, i.e. ~2.5x lower latency; an
+    # addition beyond the reference surface, diffusion/ddim.py)
+    sampler: str = "ddim"
 
 
 @dataclass(frozen=True)

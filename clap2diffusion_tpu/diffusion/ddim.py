@@ -109,6 +109,62 @@ def ddim_sample(
     return final
 
 
+def dpmpp_2m_sample(
+    eps_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    schedule: NoiseSchedule,
+    latents: jax.Array,
+    num_inference_steps: int = 20,
+) -> jax.Array:
+    """DPM-Solver++(2M): deterministic second-order multistep sampler.
+
+    Beyond the reference's surface (its intended sampler is 50-step DDIM);
+    offered because a second-order solver reaches comparable sample quality
+    in ~20 steps — ~2.5x lower latency at the same UNet cost per step.
+    Follows the data-prediction multistep formulation (Lu et al. 2022,
+    "DPM-Solver++"), first-order on the first step, one ``lax.scan`` like
+    ``ddim_sample``. Same leading-spaced timestep grid as DDIM so the two
+    samplers differ only in the update rule.
+    """
+    ts = ddim_timesteps(num_inference_steps, schedule.num_train_timesteps)
+    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+
+    def coeffs(t, t_is_final):
+        a = jnp.where(t_is_final, schedule.alphas_cumprod[0],
+                      schedule.alphas_cumprod[jnp.maximum(t, 0)])
+        alpha = jnp.sqrt(a)
+        sigma = jnp.sqrt(jnp.maximum(1.0 - a, 1e-12))
+        return alpha, sigma, jnp.log(alpha) - jnp.log(sigma)
+
+    def body(carry, tt):
+        lat, prev_x0, prev_lam, first = carry
+        t, t_prev = tt
+        alpha_t, sigma_t, lam_t = coeffs(t, False)
+        alpha_n, sigma_n, lam_n = coeffs(t_prev, t_prev < 0)
+
+        eps = eps_fn(lat, t).astype(jnp.float32)
+        lat32 = lat.astype(jnp.float32)
+        x0 = (lat32 - sigma_t * eps) / alpha_t
+
+        h = lam_n - lam_t
+        h_prev = lam_t - prev_lam
+        r = jnp.where(first, 1.0, h_prev / h)  # h_prev = 0 on the first step
+        # 2M combination; first step falls back to first-order (D = x0)
+        d = jnp.where(
+            first, x0, (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * prev_x0
+        )
+        new_lat = (sigma_n / sigma_t) * lat32 - alpha_n * (jnp.exp(-h) - 1.0) * d
+        return (new_lat.astype(lat.dtype), x0, lam_t, jnp.zeros((), bool)), None
+
+    lam0 = coeffs(ts[0], False)[2]
+    carry0 = (latents, jnp.zeros_like(latents, jnp.float32), lam0,
+              jnp.ones((), bool))
+    (final, _, _, _), _ = jax.lax.scan(body, carry0, (ts, ts_prev))
+    return final
+
+
+SAMPLERS = {"ddim": ddim_sample, "dpmpp_2m": dpmpp_2m_sample}
+
+
 def cfg_eps_fn(
     unet_apply: Callable,
     context_cond,

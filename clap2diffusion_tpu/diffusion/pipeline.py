@@ -37,7 +37,7 @@ from clap2diffusion_tpu.models.clip_text import CLIPTextEncoder
 from clap2diffusion_tpu.models.condition import AudioAdapter, HierarchicalAudioEncoder
 from clap2diffusion_tpu.models.unet import UNet2DCondition
 from clap2diffusion_tpu.models.vae import AutoencoderKL
-from clap2diffusion_tpu.diffusion.ddim import NoiseSchedule, cfg_eps_fn, ddim_sample
+from clap2diffusion_tpu.diffusion.ddim import SAMPLERS, NoiseSchedule, cfg_eps_fn
 from clap2diffusion_tpu.ops.token_norm import rescale_to_norm
 
 
@@ -220,7 +220,7 @@ class AudioToImagePipeline:
         }
         return rescale_to_norm(tokens77, norm_target), routed
 
-    @functools.partial(jax.jit, static_argnums=(0, 5, 7, 9))
+    @functools.partial(jax.jit, static_argnums=(0, 5, 7, 9, 12))
     def _generate_jit(
         self,
         params,
@@ -234,6 +234,7 @@ class AudioToImagePipeline:
         batch: int,
         norm_target: jax.Array,
         temperature: jax.Array,
+        sampler: str = "ddim",
     ) -> jax.Array:
         # PRNG key derived on device: a host-side jax.random.key() is its own
         # dispatch, and on the tunneled backend every dispatch costs a ~30 ms
@@ -286,7 +287,7 @@ class AudioToImagePipeline:
         latents = jax.random.normal(
             rng, (batch, lat_size, lat_size, 4)
         ).astype(self.compute_dtype)
-        latents = ddim_sample(eps_fn, self.schedule, latents, num_steps)
+        latents = SAMPLERS[sampler](eps_fn, self.schedule, latents, num_steps)
         img = self.m.vae.apply(
             {"params": params["vae"]}, latents,
             method=AutoencoderKL.decode_latent,
@@ -317,11 +318,19 @@ class AudioToImagePipeline:
         model_type: str = "hierarchical",
         seed: int = 0,
         batch: int = 1,
+        sampler: Optional[str] = None,
     ) -> jax.Array:
         """Asynchronous ``generate``: prepares args and dispatches the one
         jitted program, returning the on-device image without fetching it
         (dispatch itself is ~10 ms; see ``generate_stream``)."""
+        from clap2diffusion_tpu.diffusion.ddim import SAMPLERS
+
         sch = self.cfg.diffusion.scheduler
+        sampler = sampler or sch.sampler
+        if sampler not in SAMPLERS:
+            raise ValueError(
+                f"unknown sampler {sampler!r}; available: {sorted(SAMPLERS)}"
+            )
         num_steps = num_steps or sch.num_inference_steps
         guidance_scale = (
             sch.guidance_scale if guidance_scale is None else guidance_scale
@@ -360,6 +369,7 @@ class AudioToImagePipeline:
             batch,
             np.float32(norm_target),
             np.float32(temperature),
+            sampler,
         )
 
     def generate_stream(self, requests, *, depth: int = 2, **shared):

@@ -172,6 +172,30 @@ def test_cli_infer_audio_dir(tmp_path):
     assert (tmp_path / "img_x.png").exists() and (tmp_path / "img_y.png").exists()
 
 
+def test_generate_sampler_dpmpp_2m():
+    """The sampler knob is wired end-to-end: dpmpp_2m produces a valid,
+    deterministic image that differs from DDIM on the same inputs, and an
+    unknown name fails loudly."""
+    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
+    from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
+    from tests.test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    pipe = AudioToImagePipeline(cfg, seed=0)
+    tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
+    wav = (np.sin(np.linspace(0, 330 * np.pi, cfg.clap.frontend.num_samples))
+           * 0.5).astype(np.float32)
+    kw = dict(waveform=wav, text_ids=tok("wind"), uncond_ids=tok(""),
+              num_steps=3, seed=7)
+    dpm = pipe.generate(sampler="dpmpp_2m", **kw)
+    assert dpm.shape == (1, 64, 64, 3) and dpm.dtype == np.uint8
+    np.testing.assert_array_equal(dpm, pipe.generate(sampler="dpmpp_2m", **kw))
+    ddim = pipe.generate(sampler="ddim", **kw)
+    assert np.abs(dpm.astype(np.int32) - ddim.astype(np.int32)).mean() > 0.5
+    with pytest.raises(ValueError, match="unknown sampler"):
+        pipe.generate(sampler="euler_xyz", **kw)
+
+
 def test_generate_stream_matches_sequential():
     from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
     from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer

@@ -154,6 +154,52 @@ def test_ddim_perfect_eps_recovers_x0():
     assert float(jnp.abs(final - x0).mean()) < 0.05
 
 
+def test_dpmpp_2m_perfect_eps_recovers_x0():
+    """Same invariant as DDIM: with exact eps, every x0 prediction equals
+    x0, the 2M combination D == x0, and the final state lands on
+    sqrt(a_0) x0 + sqrt(1-a_0) eps — the solver stays on the diffusion
+    path for a linear model regardless of order."""
+    from clap2diffusion_tpu.diffusion.ddim import dpmpp_2m_sample
+
+    s = NoiseSchedule.create(SchedulerConfig())
+    x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4)) * 0.5
+    noise = jax.random.normal(jax.random.key(1), x0.shape)
+    t0 = ddim_timesteps(20)[0]  # the 20-step grid starts at t=951, not 981
+    xt = s.add_noise(x0, noise, jnp.array([t0]))
+    final = dpmpp_2m_sample(lambda lat, t: noise, s, xt, num_inference_steps=20)
+    a0 = s.alphas_cumprod[0]
+    expected = jnp.sqrt(a0) * x0 + jnp.sqrt(1 - a0) * noise
+    np.testing.assert_allclose(np.asarray(final), np.asarray(expected), atol=1e-4)
+
+
+def test_dpmpp_2m_converges_to_ddim_with_step_count():
+    """Both integrate the same probability-flow ODE, so on the SAME
+    timestep grid their gap must shrink as the grid refines (it is
+    dominated by DDIM's first-order discretization error, ~1/N).
+    Measured: 0.18 @ N=20, 0.060 @ N=100, 0.013 @ N=500."""
+    from clap2diffusion_tpu.diffusion.ddim import dpmpp_2m_sample
+
+    s = NoiseSchedule.create(SchedulerConfig())
+    w = jax.random.normal(jax.random.key(2), (4, 4)) * 0.1
+
+    def eps_fn(lat, t):
+        return jnp.tanh(lat @ w)  # smooth, bounded, latent-dependent
+
+    xt = jax.random.normal(jax.random.key(3), (1, 8, 8, 4))
+    gaps = []
+    for n in (20, 100, 500):
+        gap = float(jnp.abs(
+            ddim_sample(eps_fn, s, xt, num_inference_steps=n)
+            - dpmpp_2m_sample(eps_fn, s, xt, num_inference_steps=n)
+        ).mean())
+        gaps.append(gap)
+    assert gaps[0] > gaps[1] > gaps[2], gaps
+    # ~1/N decay: 25x more steps must shrink the gap by well over 4x
+    assert gaps[2] < gaps[0] / 4.0, gaps
+    # and the solvers genuinely differ at coarse settings (different order)
+    assert gaps[0] > 0.05, gaps
+
+
 def test_cfg_folding():
     """guidance 1.0 == pure conditional; uncond==cond collapses guidance."""
     calls = {}
