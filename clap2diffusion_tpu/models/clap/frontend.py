@@ -105,24 +105,38 @@ def _log_mel_impl(waveform: jax.Array, cfg: AudioFrontendConfig) -> jax.Array:
     x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
     num_frames = 1 + (x.shape[-1] - n_fft) // hop
 
-    # Framing + windowed rFFT as ONE strided fp32 convolution: each filter
-    # is a Hann-windowed DFT basis (cos|sin), stride = hop. The explicit
-    # gather formulation (x[..., frame_idx]) cost 7.3 ms of the 7.9 ms
-    # encode on v5e — the whole HTSAT tower is ~0.6 ms — because a
-    # [frames, n_fft] advanced-index lowers to a scalar gather. The conv
-    # rides the MXU instead.
+    # Framing + windowed rFFT as ONE dense [F, S*hop] x [S*hop, 2*bins]
+    # matmul. Each output frame spans S = ceil(n_fft/hop) consecutive
+    # hop-sized blocks, so S shifted reshape views of the waveform
+    # concatenated along the last axis give the frame matrix with pure
+    # layout ops (no gather). History: an advanced-index gather cost
+    # 7.3 ms on v5e; the strided-conv formulation that replaced it still
+    # lowered to a VPU loop at ~0.65 TF/s (3.2 ms/encode, device trace
+    # round 3); this dense matmul rides the MXU at the cost of
+    # (S*hop - n_fft) zero rows folded into the constant.
     cos_w, sin_w = _windowed_dft_matrices(n_fft)
     bins = n_fft // 2 + 1
-    filt = jnp.asarray(np.concatenate([cos_w, sin_w], axis=1))[:, None, :]
     lead = x.shape[:-1]
-    xr = x.reshape((-1, x.shape[-1], 1))
-    spec = jax.lax.conv_general_dilated(
-        xr, filt, window_strides=(hop,), padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # [prod(lead), frames, 2*bins]
-    spec = spec.reshape(lead + (num_frames, 2 * bins))
+    s_blocks = -(-n_fft // hop)
+    need = (num_frames + s_blocks - 1) * hop
+    if need > x.shape[-1]:
+        # tail zero-pad: the extra samples only meet zero filter rows
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - x.shape[-1])])
+    frames = jnp.concatenate(
+        [
+            x[..., k * hop : (k + num_frames) * hop].reshape(
+                lead + (num_frames, hop)
+            )
+            for k in range(s_blocks)
+        ],
+        axis=-1,
+    )  # [..., F, S*hop]
+    filt = np.concatenate([cos_w, sin_w], axis=1)
+    filt = np.concatenate(
+        [filt, np.zeros((s_blocks * hop - n_fft, 2 * bins), np.float32)], axis=0
+    )
+    spec = jnp.dot(frames, jnp.asarray(filt), precision="highest",
+                   preferred_element_type=jnp.float32)
     re, im = spec[..., :bins], spec[..., bins:]
     power = re * re + im * im
 
