@@ -32,13 +32,13 @@ def build_generator(cfg: Config):
     tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
 
     def generate(audio_path, prompt, model_name, norm_value, steps, cfg_scale,
-                 seed, sampler="ddim"):
+                 seed, sampler="ddim", negative=""):
         wav = pipe.load_audio(audio_path) if audio_path else None
         text_ids = tok(prompt or "")
         img = pipe.generate(
             waveform=wav,
             text_ids=text_ids,
-            uncond_ids=tok(""),
+            uncond_ids=tok(negative or ""),
             num_steps=int(steps),
             guidance_scale=float(cfg_scale),
             norm_target=float(norm_value),
@@ -73,6 +73,7 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
             with gr.Column():
                 audio = gr.Audio(type="filepath", label="Audio (.wav)")
                 prompt = gr.Textbox(label="Text prompt")
+                negative = gr.Textbox(label="Negative prompt")
                 model = gr.Dropdown(
                     list(_MODEL_TYPES), value="Hierarchical V4", label="Model"
                 )
@@ -88,7 +89,7 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
                 info = gr.Textbox(label="Generation info")
         btn.click(
             generate,
-            [audio, prompt, model, norm, steps, cfg_s, seed, sampler],
+            [audio, prompt, model, norm, steps, cfg_s, seed, sampler, negative],
             [image, info],
         )
 

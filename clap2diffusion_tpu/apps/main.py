@@ -100,7 +100,8 @@ def cmd_infer(args) -> int:
         # compute (pipeline.generate_stream) instead of serializing per image
         reqs = ({"waveform": pipe.load_audio(p)} for p in wavs)
         stream = pipe.generate_stream(
-            reqs, text_ids=tok(args.text or ""), uncond_ids=tok(""),
+            reqs, text_ids=tok(args.text or ""),
+            uncond_ids=tok(args.negative_text or ""),
             num_steps=args.steps, guidance_scale=args.cfg,
             norm_target=args.norm, model_type=args.model_type, seed=args.seed,
             sampler=args.sampler,
@@ -114,7 +115,7 @@ def cmd_infer(args) -> int:
 
     wav = pipe.load_audio(args.audio) if args.audio else None
     text_ids = tok(args.text or "")
-    uncond_ids = tok("")
+    uncond_ids = tok(args.negative_text or "")
     images = pipe.generate(
         waveform=wav,
         text_ids=text_ids,
@@ -184,6 +185,7 @@ def cmd_evaluate(args) -> int:
     results = run_evaluation(
         cfg, data_root=args.data_root, max_samples=args.max_samples,
         num_steps=args.steps, seed=args.seed, params=params,
+        sampler=args.sampler,
     )
     out = args.output or "evaluation_results.json"
     with open(out, "w") as f:
@@ -230,6 +232,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="batch mode: run every .wav in this directory "
                          "(reference scripts/inference.py:168-180 batch_generate)")
     pi.add_argument("--text", default=None)
+    pi.add_argument("--negative-text", default=None,
+                    help="negative prompt (becomes the CFG unconditional "
+                         "context; default: empty prompt)")
     pi.add_argument("--output", default="output.png")
     pi.add_argument("--steps", type=int, default=50)
     pi.add_argument("--cfg", type=float, default=7.5)
@@ -278,6 +283,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--data-root", default=None)
     pe.add_argument("--max-samples", type=int, default=8)
     pe.add_argument("--steps", type=int, default=50)
+    pe.add_argument("--sampler", default=None, choices=["ddim", "dpmpp_2m"])
     pe.add_argument("--seed", type=int, default=42)
     pe.add_argument("--output", default=None)
     pe.add_argument("--checkpoint", default=None,

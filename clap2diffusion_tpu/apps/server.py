@@ -6,7 +6,8 @@ this provides the same serving surface with zero dependencies:
 
     POST /generate   JSON {audio_b64?: wav bytes, text?: str, steps?: int,
                            cfg?: float, norm?: float, seed?: int,
-                           model_type?: str, sampler?: str}
+                           model_type?: str, sampler?: str,
+                           negative?: str}
                      -> JSON {image_b64: png bytes, info: {...}}
     GET  /healthz    -> 200 "ok"   (the Docker healthcheck target)
 
@@ -63,7 +64,7 @@ class InferenceService:
             img = self.pipe.generate(
                 waveform=wav,
                 text_ids=self.tok(req.get("text", "")),
-                uncond_ids=self.tok(""),
+                uncond_ids=self.tok(str(req.get("negative", ""))),
                 **params,
             )[0]
         from PIL import Image

@@ -36,6 +36,7 @@ def run_evaluation(
     num_steps: int = 50,
     seed: int = 42,
     params: Optional[Dict] = None,
+    sampler: Optional[str] = None,
 ) -> Dict:
     import jax.numpy as jnp
 
@@ -103,6 +104,7 @@ def run_evaluation(
             uncond_ids=tok(""),
             num_steps=num_steps,
             seed=seed,
+            sampler=sampler,
         )[0]
         dt = time.time() - t0
         images.append(img)

@@ -90,6 +90,7 @@ def test_cli_infer_tiny(tmp_path, monkeypatch):
     out = tmp_path / "img.png"
     rc = main([
         "infer", "--audio", str(wav_path), "--text", "a dog barks",
+        "--negative-text", "blurry, low quality",
         "--output", str(out), "--steps", "2", "--config", str(cfg_path),
     ])
     assert rc == 0 and out.exists()
