@@ -455,6 +455,7 @@ def generate_sharded(
     norm_target: float = 60.0,
     model_type: str = "hierarchical",
     seed: int = 0,
+    sampler: str = "ddim",
 ) -> np.ndarray:
     """Multi-chip serving: shard a batch of requests over the mesh's data
     axis. The single jit program is sharding-agnostic (GSPMD propagates from
@@ -489,5 +490,6 @@ def generate_sharded(
             b,
             np.float32(norm_target),
             np.float32(0.5),
+            sampler,
         )
     return np.asarray(img)

@@ -157,3 +157,10 @@ def test_generate_sharded_mesh(pipe, eight_devices):
     assert imgs.shape == (8, 64, 64, 3)
     # different audio per shard -> different images
     assert np.abs(imgs[0].astype(int) - imgs[1].astype(int)).max() > 0
+    # the sampler knob reaches the sharded program too (DPM-Solver++ is a
+    # different update rule, so the images must change)
+    dpm = generate_sharded(
+        pipe, mesh, wavs, ids, num_steps=2, seed=3, sampler="dpmpp_2m"
+    )
+    assert dpm.shape == (8, 64, 64, 3)
+    assert np.abs(dpm[0].astype(int) - imgs[0].astype(int)).max() > 0
