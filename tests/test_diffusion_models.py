@@ -67,6 +67,28 @@ def test_tiny_unet_forward_with_audio():
     assert float(jnp.abs(out - out2).max()) > 0
 
 
+def test_fused_qkv_parity(monkeypatch):
+    """The fused self-attention QKV path (one [C,3C] matmul over concatenated
+    kernels) must share the exact parameter tree of the three-Dense path and
+    produce bit-identical outputs — it is a pure compile-time rewrite."""
+    model = UNet2DCondition(cfg=TINY_UNET)
+    sample = jnp.ones((1, 16, 16, 4))
+    t = jnp.array([10])
+    ctx = jnp.ones((1, 77, 64))
+
+    monkeypatch.setenv("C2D_FUSED_QKV", "0")
+    v_sep = model.init(jax.random.key(0), sample, t, ctx, None)
+    out_sep = model.apply(v_sep, sample, t, ctx, None)
+
+    monkeypatch.setenv("C2D_FUSED_QKV", "1")
+    v_fused = model.init(jax.random.key(0), sample, t, ctx, None)
+    assert jax.tree.structure(v_sep) == jax.tree.structure(v_fused)
+    for a, b in zip(jax.tree.leaves(v_sep), jax.tree.leaves(v_fused)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out_fused = model.apply(v_sep, sample, t, ctx, None)
+    np.testing.assert_array_equal(np.asarray(out_sep), np.asarray(out_fused))
+
+
 def test_full_unet_param_parity_sd15():
     cfg = UNetConfig(audio_inject=False)
     model = UNet2DCondition(cfg=cfg)
