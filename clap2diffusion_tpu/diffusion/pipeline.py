@@ -140,6 +140,19 @@ def cached_init_params(cfg: Config, seed: int = 0, dtype=jnp.float32,
     return params
 
 
+def _dequantize_pcm16(waveform: jax.Array) -> jax.Array:
+    """Device-side counterpart of the int16 PCM16 upload path (see
+    ``load_audio``): dequantize and peak-normalize. Dividing the int16
+    samples by their own peak equals peak_normalize(x/32768) exactly, as
+    long as the host kept the global peak inside the window (load_audio
+    guarantees it). Float input passes through unchanged."""
+    if waveform.dtype != jnp.int16:
+        return waveform
+    wf = waveform.astype(jnp.float32)
+    peak = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)
+    return wf / jnp.maximum(peak, 1.0)
+
+
 class AudioToImagePipeline:
     """Host-facing pipeline. Heavy math is jit-cached per static signature.
 
@@ -170,10 +183,15 @@ class AudioToImagePipeline:
         # end-to-end — half the host->device bytes of float32 (the tunnel
         # upload is a measurable slice of serving latency, BENCH_NOTES.md),
         # dequantized + peak-normalized on device inside _generate_jit.
-        # Lossless: x_i16/peak == peak_normalize(x_i16/32768).
+        # Lossless: x_i16/peak == peak_normalize(x_i16/32768) — but only
+        # when cropping keeps the global peak (the float path normalizes
+        # the FULL file before cropping; repeatpad always preserves the
+        # peak, a crop may not). Louder-tail files take the float path.
         pcm = read_wav_pcm16(path)
         if pcm is not None and pcm[1] == self.cfg.clap.frontend.sample_rate:
-            return fit_to_length(pcm[0], self.cfg.clap.frontend.num_samples)
+            x, n = pcm[0], self.cfg.clap.frontend.num_samples
+            if len(x) <= n or np.abs(x[:n]).max() == np.abs(x).max():
+                return fit_to_length(x, n)
 
         wav, sr = read_audio(path)
         wav = peak_normalize(wav)  # (reference scripts/inference.py:73-83)
@@ -187,11 +205,16 @@ class AudioToImagePipeline:
 
     @functools.partial(jax.jit, static_argnums=0)
     def _encode_audio_impl(self, clap_params, waveform: jax.Array) -> jax.Array:
+        waveform = _dequantize_pcm16(waveform)
         mel = log_mel_spectrogram(waveform, self.cfg.clap.frontend)
         return self.m.clap_audio.apply({"params": clap_params}, mel)
 
     def encode_audio(self, waveform: jax.Array) -> jax.Array:
-        """waveform [B, samples] -> normalized CLAP embedding [B, 512]."""
+        """waveform [B, samples] -> normalized CLAP embedding [B, 512].
+
+        Accepts float32 (already peak-normalized by ``load_audio``) or the
+        int16 PCM16 fast path's output, which is dequantized on device the
+        same way ``_generate_jit`` does."""
         return self._encode_audio_impl(self.params["clap_audio"], waveform)
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -244,13 +267,7 @@ class AudioToImagePipeline:
         # (a separate encode call costs an extra host round-trip).
         clap_emb = None
         if waveform is not None:
-            if waveform.dtype == jnp.int16:
-                # PCM16 upload path (see load_audio): dequantize and
-                # peak-normalize on device. Dividing the int16 samples by
-                # their own peak equals peak_normalize(x/32768) exactly.
-                wf = waveform.astype(jnp.float32)
-                peak = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)
-                waveform = wf / jnp.maximum(peak, 1.0)
+            waveform = _dequantize_pcm16(waveform)
             mel = log_mel_spectrogram(waveform, self.cfg.clap.frontend)
             clap_emb = self.m.clap_audio.apply(
                 {"params": params["clap_audio"]}, mel
@@ -323,8 +340,6 @@ class AudioToImagePipeline:
         """Asynchronous ``generate``: prepares args and dispatches the one
         jitted program, returning the on-device image without fetching it
         (dispatch itself is ~10 ms; see ``generate_stream``)."""
-        from clap2diffusion_tpu.diffusion.ddim import SAMPLERS
-
         sch = self.cfg.diffusion.scheduler
         sampler = sampler or sch.sampler
         if sampler not in SAMPLERS:
@@ -467,6 +482,10 @@ def generate_sharded(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if sampler not in SAMPLERS:
+        raise ValueError(
+            f"unknown sampler {sampler!r}; available: {sorted(SAMPLERS)}"
+        )
     b = text_ids.shape[0]
     if uncond_ids is None:
         uncond_ids = np.zeros_like(text_ids)

@@ -98,9 +98,12 @@ def read_wav_pcm16(path: str) -> Tuple[np.ndarray, int] | None:
                     fmt = struct.unpack("<HHIIHH", payload[:16])
                 elif cid == b"data":
                     data = payload
-    except OSError:
+    except (OSError, struct.error):
+        # struct.error: fmt chunk shorter than 16 bytes — "not a readable
+        # PCM16 WAV", which this fast path reports as None (the caller
+        # then goes through the full read_audio decode instead).
         return None
-    if fmt is None or data is None:
+    if fmt is None or data is None or len(data) % 2:
         return None
     audio_format, channels, sr, _, _, bits = fmt
     if audio_format not in (1, 0xFFFE) or bits != 16 or channels != 1:

@@ -59,6 +59,66 @@ def test_load_audio_returns_int16_for_pcm16_sources(tmp_path):
     assert pipe.load_audio(p).dtype == np.float32
 
 
+def test_load_audio_louder_tail_takes_float_path(tmp_path):
+    """The int16 fast path normalizes on-device AFTER the host crop, so it
+    is only exact when the crop window keeps the global peak. A file whose
+    loudest sample lies beyond the crop must fall back to the float path
+    (full-file peak_normalize, then crop — the reference's order)."""
+    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
+    from tests.test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    pipe = AudioToImagePipeline(cfg, seed=0)
+    n = cfg.clap.frontend.num_samples
+    x = np.full(2 * n, 0.1, np.float32)
+    x[-1] = 0.9  # global peak beyond the crop window
+    p = str(tmp_path / "tail.wav")
+    write_wav(p, x, cfg.clap.frontend.sample_rate)
+    wav = pipe.load_audio(p)
+    assert wav.dtype == np.float32
+    # quiet head scaled by the GLOBAL peak: stays ~0.1/0.9, not 1.0
+    assert abs(float(np.max(np.abs(wav))) - 0.1 / 0.9) < 1e-3
+
+
+def test_encode_audio_accepts_int16():
+    """encode_audio is documented as load_audio's consumer, so it must
+    dequantize the PCM16 fast path's int16 output the same way the
+    generate program does."""
+    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
+    from tests.test_pipeline import tiny_config
+
+    pipe = AudioToImagePipeline(tiny_config(), seed=0)
+    rng = np.random.default_rng(7)
+    n = pipe.cfg.clap.frontend.num_samples
+    pcm = (rng.normal(size=(1, n)) * 8000).clip(-32768, 32767).astype(np.int16)
+    e_i16 = np.asarray(pipe.encode_audio(pcm))
+    e_f32 = np.asarray(
+        pipe.encode_audio(peak_normalize(pcm.astype(np.float32) / 32768.0))
+    )
+    np.testing.assert_allclose(e_i16, e_f32, atol=1e-5)
+
+
+def test_read_wav_pcm16_malformed_returns_none(tmp_path):
+    """Contract: anything unreadable returns None (caller falls back to the
+    full decoder) — including short fmt chunks and odd-length data."""
+    import struct
+
+    short_fmt = str(tmp_path / "short_fmt.wav")
+    with open(short_fmt, "wb") as f:
+        payload = struct.pack("<HHI", 1, 1, 48_000)  # 8 bytes, needs 16
+        f.write(b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", len(payload)) + payload)
+    assert read_wav_pcm16(short_fmt) is None
+
+    odd_data = str(tmp_path / "odd_data.wav")
+    fmt = struct.pack("<HHIIHH", 1, 1, 48_000, 96_000, 2, 16)
+    with open(odd_data, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 40) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", 16) + fmt)
+        f.write(b"data" + struct.pack("<I", 3) + b"\x01\x02\x03")
+    assert read_wav_pcm16(odd_data) is None
+
+
 def test_generate_int16_matches_float32():
     from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
     from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer

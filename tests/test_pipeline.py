@@ -153,6 +153,9 @@ def test_generate_sharded_mesh(pipe, eight_devices):
     rng = np.random.default_rng(0)
     wavs = (rng.normal(size=(8, 24_000)) * 0.1).astype(np.float32)
     ids = np.zeros((8, 7), np.int32)
+    # unknown samplers fail fast with the same ValueError as generate()
+    with pytest.raises(ValueError, match="unknown sampler"):
+        generate_sharded(pipe, mesh, wavs, ids, num_steps=2, sampler="euler")
     imgs = generate_sharded(pipe, mesh, wavs, ids, num_steps=2, seed=3)
     assert imgs.shape == (8, 64, 64, 3)
     # different audio per shard -> different images
