@@ -64,6 +64,9 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
             "  python -m clap2diffusion_tpu.apps.main infer --audio x.wav --text '...'"
         ) from e
 
+    from clap2diffusion_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = cfg or Config()
     generate = build_generator(cfg)
 

@@ -318,6 +318,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    # the 512px serving/training programs take minutes to compile cold;
+    # the persistent cache makes repeat CLI launches compile in seconds
+    from clap2diffusion_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     return args.fn(args)
 
 

@@ -134,6 +134,9 @@ def main() -> int:
     args = ap.parse_args()
 
     from clap2diffusion_tpu.core.config import load_config
+    from clap2diffusion_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = load_config(args.config)
     params = None

@@ -370,3 +370,25 @@ def test_run_evaluation_frechet_clip_vision(tmp_path):
     assert "frechet_clip_vision" in res["summary"]
     assert np.isfinite(res["summary"]["frechet_clip_vision"])
     assert "fid" not in res["summary"]
+
+
+def test_enable_compilation_cache_env_contract(tmp_path, monkeypatch):
+    """CLI/server/gradio entry points persist XLA compiles; the env var
+    relocates or disables the cache (C2D_COMPILE_CACHE=<path>|0)."""
+    import os
+
+    import jax
+
+    from clap2diffusion_tpu.utils.compile_cache import enable_compilation_cache
+
+    target = str(tmp_path / "xla_cache")
+    monkeypatch.setenv("C2D_COMPILE_CACHE", target)
+    try:
+        assert enable_compilation_cache() == target
+        assert os.path.isdir(target)
+        assert jax.config.jax_compilation_cache_dir == target
+
+        monkeypatch.setenv("C2D_COMPILE_CACHE", "0")
+        assert enable_compilation_cache() is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
