@@ -1,18 +1,22 @@
 #!/usr/bin/env python
-"""Convert torch checkpoints -> one orbax pipeline checkpoint.
+"""Convert published checkpoints -> one orbax pipeline checkpoint.
 
 Glues every converter together: point it at local copies of the standard
 artifacts and it emits a single ``save_pipeline`` checkpoint ready for
 ``load_pipeline`` / the CLI.
 
     python tools/convert_checkpoints.py \
-        --clap /path/to/clap_model_state_dict.(pt|bin|safetensors-dir) \
-        --sd-unet /path/unet/diffusion_pytorch_model.bin \
-        --sd-vae /path/vae/diffusion_pytorch_model.bin \
-        --clip-text /path/text_encoder/pytorch_model.bin \
+        --clap /path/to/clap_model.(pt|bin|safetensors) \
+        --sd-unet /path/unet/diffusion_pytorch_model.safetensors \
+        --sd-vae /path/vae/diffusion_pytorch_model.safetensors \
+        --clip-text /path/text_encoder/model.safetensors \
         --hierarchical /path/hierarchical_v4_final.pth \
         --adapter /path/audio_projector_stage2.pth \
         --out checkpoints/pipeline
+
+Every slot accepts torch ``.pt/.bin/.pth`` (read via torch) or
+``.safetensors`` (read torch-free via utils/safetensors_io — the format
+diffusers/transformers publish by default today).
 
 Any subset may be given; missing towers keep random init (and are reported).
 The reference's published .pth artifacts (reference README.md:76-81) feed
@@ -28,6 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def load_sd(path: str):
+    if path.endswith(".safetensors"):
+        # torch-free: diffusers/transformers ship .safetensors by default
+        from clap2diffusion_tpu.utils.safetensors_io import load_safetensors
+
+        return load_safetensors(path)
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
