@@ -9,10 +9,20 @@ this provides the same serving surface with zero dependencies:
                            model_type?: str, sampler?: str,
                            negative?: str}
                      -> JSON {image_b64: png bytes, info: {...}}
+    POST /generate_batch
+                     JSON {requests: [{audio_b64?, text?, negative?}, ...],
+                           steps?, cfg?, norm?, seed?, model_type?, sampler?}
+                     -> JSON {images_b64: [...], info: {...}}
+                     One folded device program for the whole group (the
+                     per-image knobs that are single scalars in the jitted
+                     program — steps/cfg/seed/... — are shared).
     GET  /healthz    -> 200 "ok"   (the Docker healthcheck target)
 
-Requests are served sequentially (the TPU is a serial resource; the jit
-cache makes repeat shapes fast). Launch:
+Concurrency model: the device is a serial resource, but dispatch is async —
+the lock covers only the enqueue, and the host->device upload / image
+download of one request overlaps the device compute of its neighbour
+(the generate_stream pipelining, BENCH_NOTES.md: 4x batch-8 1.118 -> 1.167
+img/s from exactly this overlap). Launch:
 
     python -m clap2diffusion_tpu.apps.server --port 7860
 """
@@ -44,15 +54,17 @@ class InferenceService:
         self.tok = CLIPTokenizer(max_length=self.cfg.diffusion.clip_text.max_length)
         self._lock = threading.Lock()
 
-    def generate(self, req: dict) -> dict:
-        wav = None
-        if req.get("audio_b64"):
-            raw = base64.b64decode(req["audio_b64"])
-            with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                f.write(raw)
-                f.flush()
-                wav = self.pipe.load_audio(f.name)
-        params = {
+    def _decode_audio(self, req: dict):
+        if not req.get("audio_b64"):
+            return None
+        raw = base64.b64decode(req["audio_b64"])
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(raw)
+            f.flush()
+            return self.pipe.load_audio(f.name)
+
+    def _knobs(self, req: dict) -> dict:
+        return {
             "num_steps": int(req.get("steps", self.cfg.diffusion.scheduler.num_inference_steps)),
             "guidance_scale": float(req.get("cfg", self.cfg.diffusion.scheduler.guidance_scale)),
             "norm_target": float(req.get("norm", self.cfg.condition.audio_norm_target)),
@@ -60,27 +72,83 @@ class InferenceService:
             "seed": int(req.get("seed", 0)),
             "sampler": str(req.get("sampler", self.cfg.diffusion.scheduler.sampler)),
         }
-        with self._lock:
-            img = self.pipe.generate(
-                waveform=wav,
-                text_ids=self.tok(req.get("text", "")),
-                uncond_ids=self.tok(str(req.get("negative", ""))),
-                **params,
-            )[0]
+
+    @staticmethod
+    def _png_b64(img: np.ndarray) -> str:
         from PIL import Image
 
         buf = io.BytesIO()
         Image.fromarray(np.asarray(img)).save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    def _info(self, params: dict) -> dict:
         return {
-            "image_b64": base64.b64encode(buf.getvalue()).decode(),
-            "info": {
-                "steps": params["num_steps"],
-                "cfg": params["guidance_scale"],
-                "norm": params["norm_target"],
-                "model_type": params["model_type"],
-                "seed": params["seed"],
-                "sampler": params["sampler"],
-            },
+            "steps": params["num_steps"],
+            "cfg": params["guidance_scale"],
+            "norm": params["norm_target"],
+            "model_type": params["model_type"],
+            "seed": params["seed"],
+            "sampler": params["sampler"],
+        }
+
+    def generate(self, req: dict) -> dict:
+        wav = self._decode_audio(req)
+        params = self._knobs(req)
+        # lock covers only the async enqueue (~10 ms): while this image's
+        # upload/compute/download runs, a concurrent request's dispatch
+        # already overlaps it — the generate_stream pipelining.
+        with self._lock:
+            img_dev = self.pipe._dispatch_generate(
+                waveform=wav,
+                text_ids=self.tok(req.get("text", "")),
+                uncond_ids=self.tok(str(req.get("negative", ""))),
+                **params,
+            )
+        img = np.asarray(img_dev)[0]  # blocking fetch OUTSIDE the lock
+        return {"image_b64": self._png_b64(img), "info": self._info(params)}
+
+    def generate_batch(self, req: dict) -> dict:
+        """Fold a request group into ONE batched device program (throughput
+        mode: per-sample cost drops ~30% at batch 8, BENCH_NOTES.md). The
+        scalar knobs (steps/cfg/seed/...) are shared across the group."""
+        reqs = req.get("requests") or []
+        if not reqs:
+            raise ValueError("generate_batch needs a non-empty 'requests' list")
+        params = self._knobs(req)
+        wavs = [self._decode_audio(r) for r in reqs]
+        if any(w is None for w in wavs) and not all(w is None for w in wavs):
+            raise ValueError(
+                "generate_batch requests must either all carry audio_b64 or none"
+            )
+        waveform = None
+        if wavs[0] is not None:
+            # PCM16 fast-path arrays stay int16 only if every source did
+            if all(w.dtype == np.int16 for w in wavs):
+                waveform = np.stack(wavs)
+            else:
+                # host-side equivalent of the device dequantize:
+                # x/peak == peak_normalize(x/32768) exactly
+                waveform = np.stack([
+                    w.astype(np.float32) / max(float(np.abs(w).max()), 1.0)
+                    if w.dtype == np.int16 else w
+                    for w in wavs
+                ])
+        text_ids = np.concatenate([self.tok(r.get("text", "")) for r in reqs])
+        uncond_ids = np.concatenate(
+            [self.tok(str(r.get("negative", ""))) for r in reqs]
+        )
+        with self._lock:
+            imgs_dev = self.pipe._dispatch_generate(
+                waveform=waveform,
+                text_ids=text_ids,
+                uncond_ids=uncond_ids,
+                batch=len(reqs),
+                **params,
+            )
+        imgs = np.asarray(imgs_dev)
+        return {
+            "images_b64": [self._png_b64(im) for im in imgs],
+            "info": {**self._info(params), "batch": len(reqs)},
         }
 
 
@@ -103,14 +171,21 @@ def make_handler(service: InferenceService):
                 self._send(404, b'{"error": "not found"}')
 
         def do_POST(self):
-            if self.path != "/generate":
+            routes = {
+                "/generate": service.generate,
+                "/generate_batch": service.generate_batch,
+            }
+            fn = routes.get(self.path)
+            if fn is None:
                 self._send(404, b'{"error": "not found"}')
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                out = service.generate(req)
+                out = fn(req)
                 self._send(200, json.dumps(out).encode())
+            except ValueError as e:  # bad request payloads are the client's
+                self._send(400, json.dumps({"error": str(e)}).encode())
             except Exception as e:  # surface errors as JSON, keep serving
                 self._send(500, json.dumps({"error": str(e)}).encode())
 

@@ -262,6 +262,57 @@ def test_http_server_generate(tmp_path):
         img = Image.open(io.BytesIO(base64.b64decode(out["image_b64"])))
         assert img.size == (64, 64)
 
+        # concurrent requests: the lock covers only the dispatch, so two
+        # in-flight generations pipeline and both return valid images
+        results = {}
+
+        def post(tag, seed):
+            body = json.dumps({"text": tag, "steps": 2, "seed": seed}).encode()
+            rr = urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{port}/generate", data=body,
+                    headers={"Content-Type": "application/json"},
+                )
+            )
+            results[tag] = json.loads(rr.read())
+
+        threads = [threading.Thread(target=post, args=(f"req{i}", i))
+                   for i in range(2)]
+        [x.start() for x in threads]
+        [x.join() for x in threads]
+        assert all("image_b64" in results[f"req{i}"] for i in range(2))
+
+        # batch endpoint: one folded device program for the group
+        breq = json.dumps({
+            "requests": [{"text": "a dog barks"}, {"text": "rain falls"}],
+            "steps": 2,
+            "seed": 7,
+        }).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate_batch", data=breq,
+                headers={"Content-Type": "application/json"},
+            )
+        )
+        bout = json.loads(r.read())
+        assert len(bout["images_b64"]) == 2 and bout["info"]["batch"] == 2
+        a, b = (np.asarray(Image.open(io.BytesIO(base64.b64decode(x))))
+                for x in bout["images_b64"])
+        assert np.abs(a.astype(int) - b.astype(int)).max() > 0  # distinct prompts
+
+        # empty batch -> 400 with a JSON error
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{port}/generate_batch",
+                    data=b'{"requests": []}',
+                    headers={"Content-Type": "application/json"},
+                )
+            )
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
         # bad route -> 404, malformed body -> 500 (server keeps running)
         try:
             urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
