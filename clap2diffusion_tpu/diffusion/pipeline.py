@@ -459,6 +459,32 @@ def load_pipeline(cfg: Config, path: str, dtype=None) -> "AudioToImagePipeline":
     return AudioToImagePipeline(cfg, params=params)
 
 
+def shard_pipeline_for_serving(pipe: "AudioToImagePipeline", mesh):
+    """Latency-mode tensor parallelism: place the pipeline's wide kernels
+    model-sharded on the mesh (``parallel.sharding.param_spec`` — the UNet
+    feed-forward projections and the adapter's 256->24,576 KV head), the
+    rest replicated. Under jit, GSPMD computes each sharded matmul on its
+    device slice and inserts the ICI all-reduce where the next contraction
+    needs the full axis — so extra chips cut single-image latency for the
+    FFN share of the step, independent of batch size.
+
+    Compose with a data axis for throughput x latency: on
+    mesh {"data": D, "model": M}, ``generate_sharded`` shards the batch
+    over D while every shard's UNet FFNs run M-way tensor-parallel.
+    Attention stays replicated by design (the Pallas flash kernel is
+    per-device; its Q/K/V kernels are below the TP width cutoff).
+
+    Single-axis data meshes are a no-op (everything replicates), so this is
+    safe to call unconditionally. Parity + placement are pinned by
+    tests/test_distributed.py::test_tp_serving_parity on the virtual
+    8-device mesh.
+    """
+    from clap2diffusion_tpu.parallel.sharding import shard_params
+
+    pipe.params = shard_params(pipe.params, mesh)
+    return pipe
+
+
 def generate_sharded(
     pipe: "AudioToImagePipeline",
     mesh,

@@ -209,3 +209,51 @@ def test_shard_host_batch_axis1(eight_devices):
     np.testing.assert_array_equal(np.asarray(out), x)
     spec = out.sharding.spec
     assert spec[1] == "data" and spec[0] is None
+
+
+@pytest.mark.slow
+def test_tp_serving_parity(eight_devices, monkeypatch):
+    """Latency-mode serving TP: shard_pipeline_for_serving places wide
+    kernels model-sharded, generate_sharded runs on the (data, model) mesh,
+    and the images match the unsharded pipeline (GSPMD may re-associate the
+    sharded-matmul reductions, so allow a few uint8 counts of drift)."""
+    import jax
+
+    import clap2diffusion_tpu.parallel.sharding as sharding
+    from clap2diffusion_tpu.core.mesh import make_mesh
+    from clap2diffusion_tpu.diffusion.pipeline import (
+        AudioToImagePipeline,
+        generate_sharded,
+        shard_pipeline_for_serving,
+    )
+    from tests.test_pipeline import tiny_config
+
+    # tiny geometry has no >=2048-wide kernels; lower the TP threshold so
+    # sharding is observable
+    monkeypatch.setattr(sharding, "TP_MIN_WIDTH", 64)
+    cfg = tiny_config()
+    pipe = AudioToImagePipeline(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    wavs = (rng.normal(size=(2, 24_000)) * 0.1).astype(np.float32)
+    ids = np.zeros((2, 7), np.int32)
+
+    # the reference is the SAME batched program unsharded (latents are
+    # drawn per-batch from one key, so per-sample calls would differ)
+    ref = pipe.generate(waveform=wavs, text_ids=ids, uncond_ids=ids,
+                        batch=2, num_steps=2, seed=3)
+
+    mesh = make_mesh({"data": 1, "model": 8})
+    shard_pipeline_for_serving(pipe, mesh)
+    specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(pipe.params["unet"])
+        if hasattr(leaf, "sharding")
+    ]
+    assert any("model" in str(s) for s in specs), "no UNet kernel sharded"
+
+    out = generate_sharded(pipe, mesh, wavs, ids, num_steps=2, seed=3)
+    assert out.shape == ref.shape
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert float(diff.mean()) < 0.5 and int(diff.max()) <= 8, (
+        diff.mean(), diff.max()
+    )
