@@ -300,6 +300,34 @@ def run_stage(
 
     rng = jax.random.key(seed)
 
+    # preemption-safe: TPU workers commonly get SIGTERM shortly before
+    # eviction — catch it (and SIGINT) so the run saves a resumable
+    # checkpoint instead of losing everything since the last save_every.
+    # Signal handlers only install from the main thread; elsewhere (e.g.
+    # a test runner thread) training simply runs without the safety net.
+    import signal as _signal
+
+    caught = {"sig": None}
+    restore_sigs = []
+    if checkpoint_dir:
+        try:
+            for s in (_signal.SIGTERM, _signal.SIGINT):
+                prev = _signal.signal(s, lambda sn, fr: caught.update(sig=sn))
+                restore_sigs.append((s, prev))
+        except ValueError:
+            restore_sigs = []
+
+    def _preempt_save():
+        save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_preempt")
+        if is_coordinator():
+            logger.log(done, {"preempted_by_signal": float(caught["sig"])})
+        logger.close()
+        for s, prev in restore_sigs:
+            _signal.signal(s, prev)
+        # re-deliver with the original disposition: SIGTERM terminates,
+        # SIGINT raises KeyboardInterrupt — callers see normal semantics
+        _signal.raise_signal(caught["sig"])
+
     done = int(state.step)
     epoch = 0
     t0 = time.time()
@@ -340,9 +368,13 @@ def run_stage(
                 logger.log(done, scalars)
             if checkpoint_dir and done % scfg.save_every < spc and done >= scfg.save_every:
                 save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_step{done}")
+            if caught["sig"] is not None:
+                _preempt_save()
             if done >= steps:
                 break
         epoch += 1
+    for s, prev in restore_sigs:
+        _signal.signal(s, prev)
     if checkpoint_dir:
         save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_final")
     logger.close()

@@ -417,3 +417,53 @@ def test_embedding_cache_used(tmp_path, tiny_params):
     batch["audio_id"] = ["sample_00000", "missing"]
     out2 = fe.embed_batch(batch)
     assert out2["clap"].shape == (2, cfg.condition.clap_dim)
+
+
+def test_preemption_saves_resumable_checkpoint(tmp_path, tiny_params):
+    """SIGINT/SIGTERM mid-run saves a stage{N}_preempt checkpoint and
+    re-delivers the signal with its original disposition (here: SIGINT ->
+    KeyboardInterrupt) — the TPU-pod eviction story."""
+    import os
+    import signal
+    import threading
+
+    from clap2diffusion_tpu.core.config import apply_overrides
+    from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
+    from clap2diffusion_tpu.train.checkpoint import restore_checkpoint
+    from clap2diffusion_tpu.train.stages import TrainState, make_stage1_step
+    from clap2diffusion_tpu.train.trainer import run_stage
+
+    cfg, params = tiny_params
+    cfg = apply_overrides(cfg, [
+        "train.stage1.grad_accum=1", "train.stage1.batch_size=2",
+        "train.stage1.steps_per_call=1", "data.duration_s=0.5",
+    ])
+    root = str(tmp_path / "ds")
+    make_fixture_dataset(root, n_train=4, n_val=1, n_test=1, duration_s=0.5,
+                         latent_hw=cfg.diffusion.image_size // 8)
+    ckpt = str(tmp_path / "ckpt")
+
+    prev_handler = signal.getsignal(signal.SIGINT)
+    timer = threading.Timer(
+        1.5, lambda: os.kill(os.getpid(), signal.SIGINT)
+    )
+    timer.start()
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            run_stage(cfg, 1, params, data_root=root, max_steps=10_000_000,
+                      checkpoint_dir=ckpt, log_dir=str(tmp_path / "logs"))
+    finally:
+        timer.cancel()
+    # the original handler is back (no leaked trap)
+    assert signal.getsignal(signal.SIGINT) is prev_handler
+
+    assert os.path.exists(os.path.join(ckpt, "stage1_preempt"))
+    # the checkpoint restores into a fresh state at a step > 0
+    step_fn, init_tx, _ = make_stage1_step(cfg)
+    fresh = TrainState.create(
+        params["adapter"], init_tx(params["adapter"]),
+        use_ema=cfg.train.stage1.use_ema,
+        trainable=getattr(step_fn, "trainable", None),
+    )
+    restored = restore_checkpoint(ckpt, fresh, name="stage1_preempt")
+    assert int(restored.step) > 0
