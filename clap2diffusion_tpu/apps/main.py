@@ -222,6 +222,21 @@ def cmd_app(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from clap2diffusion_tpu.apps.server import serve
+
+    cfg = _load_cfg(args)
+    params = None
+    if args.checkpoint:
+        from clap2diffusion_tpu.diffusion.pipeline import load_pipeline
+
+        params = load_pipeline(cfg, args.checkpoint).params
+    server = serve(cfg, params, args.host, args.port)
+    print(f"serving on {args.host}:{server.server_address[1]}")
+    server.serve_forever()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="clap2diffusion-tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -307,6 +322,17 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--n-test", type=int, default=1)
     _add_common(pp)
     pp.set_defaults(fn=cmd_prepare)
+
+    ps = sub.add_parser(
+        "serve", help="launch the stdlib HTTP server (/generate, "
+                      "/generate_batch, /healthz)"
+    )
+    _add_common(ps)
+    ps.add_argument("--host", default="0.0.0.0")
+    ps.add_argument("--port", type=int, default=7860)
+    ps.add_argument("--checkpoint", default=None,
+                    help="orbax pipeline checkpoint (save_pipeline output)")
+    ps.set_defaults(fn=cmd_serve)
 
     pa = sub.add_parser("app", help="launch the gradio UI")
     pa.add_argument("--host", default="0.0.0.0")

@@ -443,3 +443,12 @@ def test_enable_compilation_cache_env_contract(tmp_path, monkeypatch):
         assert enable_compilation_cache() is None
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_cli_serve_subcommand_parses():
+    """`main serve` exposes the HTTP server through the unified CLI."""
+    from clap2diffusion_tpu.apps.main import build_parser, cmd_serve
+
+    args = build_parser().parse_args(["serve", "--port", "0",
+                                      "--host", "127.0.0.1"])
+    assert args.fn is cmd_serve and args.port == 0
