@@ -467,3 +467,61 @@ def test_preemption_saves_resumable_checkpoint(tmp_path, tiny_params):
     )
     restored = restore_checkpoint(ckpt, fresh, name="stage1_preempt")
     assert int(restored.step) > 0
+
+
+@pytest.mark.slow
+def test_three_stage_chain_to_inference(tmp_path, tiny_params):
+    """The reference's documented workflow, end-to-end: stage 1 trains the
+    adapter, stage 2 continues on stage 1's merged tree, stage 3 on stage
+    2's, and the final merged tree serves an image (the stage-chained
+    torch.load flow — reference train_stage2.py:37-42,
+    train_stage3.py:47-81 — as orbax restore + merge_stage_params)."""
+    import os
+
+    from clap2diffusion_tpu.core.config import apply_overrides
+    from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
+    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
+    from clap2diffusion_tpu.train.checkpoint import (
+        merge_stage_params,
+        restore_raw,
+    )
+    from clap2diffusion_tpu.train.trainer import run_stage
+
+    cfg, params = tiny_params
+    cfg = apply_overrides(cfg, [
+        "data.duration_s=0.5",
+        *[f"train.stage{s}.{k}={v}" for s in (1, 2, 3)
+          for k, v in (("grad_accum", 1), ("batch_size", 2),
+                       ("steps_per_call", 1))],
+    ])
+    root = str(tmp_path / "ds")
+    make_fixture_dataset(root, n_train=4, n_val=1, n_test=1, duration_s=0.5,
+                         latent_hw=cfg.diffusion.image_size // 8)
+    ck = str(tmp_path / "ck")
+
+    merged = dict(params)
+    before = {s: None for s in (1, 2, 3)}
+    for stage in (1, 2, 3):
+        run_stage(cfg, stage, merged, data_root=root, max_steps=2,
+                  checkpoint_dir=ck, log_dir=str(tmp_path / "logs"))
+        payload = restore_raw(ck, f"stage{stage}_final")
+        assert int(payload["step"]) == 2
+        next_tree = merge_stage_params(merged, payload, stage)
+        # each stage moved its trainable weights
+        moved = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), merged, next_tree
+        )
+        assert max(jax.tree.leaves(moved)) > 0, f"stage {stage} moved nothing"
+        before[stage] = merged
+        merged = next_tree
+
+    pipe = AudioToImagePipeline(cfg, params=merged)
+    wav = (np.sin(np.linspace(0, 330 * np.pi, cfg.clap.frontend.num_samples))
+           * 0.5).astype(np.float32)
+    img = pipe.generate(waveform=wav, num_steps=2, seed=3)
+    assert img.shape == (1, 64, 64, 3) and np.isfinite(img.astype(float)).all()
+    # the trained weights actually change the served image
+    ref = AudioToImagePipeline(cfg, params=params).generate(
+        waveform=wav, num_steps=2, seed=3
+    )
+    assert np.abs(img.astype(int) - ref.astype(int)).max() > 0
