@@ -33,6 +33,7 @@ from flax import linen as nn
 
 from clap2diffusion_tpu.core.config import UNetConfig
 from clap2diffusion_tpu.models.condition.inject import AudioInjection
+from clap2diffusion_tpu.ops import quant
 from clap2diffusion_tpu.ops.attention import mha
 from clap2diffusion_tpu.ops.groupnorm import GroupNorm, GroupNormSiLU
 from clap2diffusion_tpu.ops.winograd import Conv3x3
@@ -75,7 +76,7 @@ class ResnetBlock(nn.Module):
         h = GroupNormSiLU(groups=self.groups, epsilon=1e-5, name="norm2")(h)
         h = Conv3x3(self.out_channels, name="conv2")(h)
         if in_ch != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut")(x)
+            x = Conv1x1(self.out_channels, name="conv_shortcut")(x)
         return x + h
 
 
@@ -91,6 +92,55 @@ class _Kernel(nn.Module):
         return self.param(
             "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
         )
+
+
+class _DenseParams(nn.Module):
+    """Declares ``nn.Dense``'s exact parameter tree (kernel [K,N] + bias
+    [N], same names/inits) without applying it — lets the int8 serving
+    path (ops/quant.py) share checkpoints with the default fp path."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+class Conv1x1(nn.Module):
+    """1x1 conv with ``nn.Conv``'s parameter tree; routes through the W8A8
+    int8 matmul when ``C2D_INT8=1`` (a 1x1 conv IS a [B*H*W, Cin] @
+    [Cin, Cout] matmul — the Transformer2D projections are MXU work worth
+    quantizing). The default path is the same ``lax.conv`` call ``nn.Conv``
+    makes, so default outputs are unchanged."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if quant.eligible(cin, self.features):
+            b, h, w, _ = x.shape
+            y = quant.int8_matmul(
+                x.reshape(b * h * w, cin), kernel.reshape(cin, self.features), bias
+            )
+            return y.reshape(b, h, w, self.features)
+        return jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(x.dtype)
 
 
 class CrossAttention(nn.Module):
@@ -115,6 +165,7 @@ class CrossAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, context: Optional[jax.Array] = None) -> jax.Array:
         ctx = x if context is None else context
+        int8 = quant.eligible(x.shape[-1], self.query_dim)
         if context is None and os.environ.get("C2D_FUSED_QKV", "1") != "0":
             in_dim = x.shape[-1]
             w = jnp.concatenate(
@@ -125,12 +176,27 @@ class CrossAttention(nn.Module):
                 ],
                 axis=1,
             )
-            q, k, v = jnp.split(jnp.dot(x, w), 3, axis=-1)
+            qkv = quant.int8_matmul(x, w) if int8 else jnp.dot(x, w)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif int8 and context is not None:
+            # Cross-attention int8: only Q (over H*W tokens) is MXU work;
+            # K/V project the 77-token text context — tiny AND
+            # loop-invariant under the DDIM scan (XLA hoists them), so
+            # they stay fp.
+            wq, _ = _DenseParams(self.query_dim, use_bias=False, name="to_q")(
+                x.shape[-1]
+            )
+            q = quant.int8_matmul(x, wq)
+            k = nn.Dense(self.query_dim, use_bias=False, name="to_k")(ctx)
+            v = nn.Dense(self.query_dim, use_bias=False, name="to_v")(ctx)
         else:
             q = nn.Dense(self.query_dim, use_bias=False, name="to_q")(x)
             k = nn.Dense(self.query_dim, use_bias=False, name="to_k")(ctx)
             v = nn.Dense(self.query_dim, use_bias=False, name="to_v")(ctx)
         out = mha(q, k, v, self.num_heads, use_flash=self.use_flash)
+        if int8:
+            wo, bo = _DenseParams(self.query_dim, name="to_out")(out.shape[-1])
+            return quant.int8_matmul(out, wo, bo)
         return nn.Dense(self.query_dim, name="to_out")(out)
 
 
@@ -141,6 +207,13 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         inner = self.dim * self.mult
+        if quant.eligible(self.dim):
+            w1, b1 = _DenseParams(inner * 2, name="proj_in")(x.shape[-1])
+            h = quant.int8_matmul(x, w1, b1)
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * nn.gelu(gate, approximate=False)
+            w2, b2 = _DenseParams(self.dim, name="proj_out")(inner)
+            return quant.int8_matmul(h, w2, b2)
         h = nn.Dense(inner * 2, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * nn.gelu(gate, approximate=False)
@@ -183,7 +256,7 @@ class Transformer2D(nn.Module):
         b, h, w, c = x.shape
         residual = x
         x = GroupNorm(num_groups=self.groups, epsilon=1e-6, name="norm")(x)
-        x = nn.Conv(self.channels, (1, 1), name="proj_in")(x)
+        x = Conv1x1(self.channels, name="proj_in")(x)
         x = x.reshape(b, h * w, c)
         x = BasicTransformerBlock(
             dim=self.channels, num_heads=self.num_heads,
@@ -191,7 +264,7 @@ class Transformer2D(nn.Module):
             name="block_0",
         )(x, context)
         x = x.reshape(b, h, w, c)
-        x = nn.Conv(self.channels, (1, 1), name="proj_out")(x)
+        x = Conv1x1(self.channels, name="proj_out")(x)
         return x + residual
 
 

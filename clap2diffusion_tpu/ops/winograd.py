@@ -161,6 +161,14 @@ def make_conv3x3_module():
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,)
             ).astype(x.dtype)
+            # Opt-in W8A8 int8 serving path (ops/quant.py). Narrow convs
+            # (conv_in 4->320, conv_out ->4) stay fp: no MXU win, and the
+            # epsilon head is the most drift-sensitive layer. Takes
+            # precedence over the (losing, archival) Winograd experiment.
+            from clap2diffusion_tpu.ops import quant
+
+            if quant.conv_eligible(cin, self.features):
+                return quant.int8_conv(x, kernel, bias)
             if (
                 os.environ.get(self.use_winograd_env) == "1"
                 and eligible(x.shape, kernel.shape, (1, 1), "SAME")

@@ -185,6 +185,16 @@ def run_stage(
     restore (params, opt state, step) before continuing — the reference's
     stage-chained torch.load flow (reference train_stage2.py:37-42) as real
     crash-safe resume."""
+    from clap2diffusion_tpu.ops import quant
+
+    if quant.enabled():
+        # jnp.round's gradient is zero: a backward through the W8A8 path
+        # silently kills every quantized weight gradient. Serve-only.
+        raise RuntimeError(
+            "C2D_INT8=1 is a serve-only mode (ops/quant.py); unset it for "
+            "training — the quantization round() has zero gradient."
+        )
+
     seed = cfg.train.seed if seed is None else seed
     data_root = data_root or cfg.data.data_root
     scfg = getattr(cfg.train, f"stage{stage}")
