@@ -32,9 +32,21 @@ def build_generator(cfg: Config):
     tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
 
     def generate(audio_path, prompt, model_name, norm_value, steps, cfg_scale,
-                 seed, sampler="ddim", negative=""):
+                 seed, sampler="ddim", negative="", init_image=None,
+                 strength=0.8, audio2_path=None, audio_mix=0.5):
         wav = pipe.load_audio(audio_path) if audio_path else None
         text_ids = tok(prompt or "")
+        init = None
+        if init_image is not None:
+            from PIL import Image
+
+            size = cfg.diffusion.image_size
+            init = np.asarray(
+                Image.fromarray(np.asarray(init_image)).convert("RGB").resize(
+                    (size, size), Image.LANCZOS
+                ),
+                np.uint8,
+            )
         img = pipe.generate(
             waveform=wav,
             text_ids=text_ids,
@@ -45,10 +57,16 @@ def build_generator(cfg: Config):
             model_type=_MODEL_TYPES.get(model_name, "hierarchical"),
             seed=int(seed),
             sampler=str(sampler),
+            init_image=init,
+            strength=float(strength),
+            waveform2=pipe.load_audio(audio2_path) if audio2_path else None,
+            audio_mix=float(audio_mix),
         )[0]
         info = (
             f"model={model_name} steps={int(steps)} cfg={cfg_scale} "
             f"norm={norm_value} seed={int(seed)} sampler={sampler}"
+            + (f" strength={strength}" if init is not None else "")
+            + (f" audio_mix={audio_mix}" if audio2_path else "")
         )
         return np.asarray(img), info
 
@@ -86,13 +104,22 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
                                       label="Sampler (dpmpp_2m: ~20 steps)")
                 cfg_s = gr.Slider(1.0, 20.0, value=7.5, label="CFG scale")
                 seed = gr.Number(value=42, precision=0, label="Seed")
+                with gr.Accordion("img2img / composition", open=False):
+                    init_img = gr.Image(label="Init image (SDEdit)")
+                    strength = gr.Slider(0.05, 1.0, value=0.8,
+                                         label="img2img strength")
+                    audio2 = gr.Audio(type="filepath",
+                                      label="Second audio (blend)")
+                    mix = gr.Slider(0.0, 1.0, value=0.5,
+                                    label="Blend weight of first audio")
                 btn = gr.Button("Generate")
             with gr.Column():
                 image = gr.Image(label="Generated image")
                 info = gr.Textbox(label="Generation info")
         btn.click(
             generate,
-            [audio, prompt, model, norm, steps, cfg_s, seed, sampler, negative],
+            [audio, prompt, model, norm, steps, cfg_s, seed, sampler, negative,
+             init_img, strength, audio2, mix],
             [image, info],
         )
 

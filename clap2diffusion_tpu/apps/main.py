@@ -116,6 +116,15 @@ def cmd_infer(args) -> int:
     wav = pipe.load_audio(args.audio) if args.audio else None
     text_ids = tok(args.text or "")
     uncond_ids = tok(args.negative_text or "")
+    init = None
+    if args.init_image:
+        size = pipe.cfg.diffusion.image_size
+        init = np.asarray(
+            Image.open(args.init_image).convert("RGB").resize(
+                (size, size), Image.LANCZOS
+            ),
+            np.uint8,
+        )
     images = pipe.generate(
         waveform=wav,
         text_ids=text_ids,
@@ -127,6 +136,10 @@ def cmd_infer(args) -> int:
         seed=args.seed,
         batch=args.batch,
         sampler=args.sampler,
+        init_image=init,
+        strength=args.strength,
+        waveform2=pipe.load_audio(args.audio2) if args.audio2 else None,
+        audio_mix=args.audio_mix,
     )
     for i, img in enumerate(images):
         out = args.output if args.batch == 1 else args.output.replace(
@@ -268,6 +281,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "reaches DDIM-50 quality in ~20 steps)")
     pi.add_argument("--model-type", default="hierarchical",
                     choices=["hierarchical", "sonic", "baseline", "audio_tokens"])
+    pi.add_argument("--init-image", default=None,
+                    help="img2img: init image path (SDEdit; resized to the "
+                         "model resolution)")
+    pi.add_argument("--strength", type=float, default=0.8,
+                    help="img2img denoise strength in (0,1]; lower preserves "
+                         "more of --init-image")
+    pi.add_argument("--audio2", default=None,
+                    help="second audio source; its CLAP embedding is blended "
+                         "with --audio's (compositional serving)")
+    pi.add_argument("--audio-mix", type=float, default=0.5,
+                    help="blend weight of --audio when --audio2 is given")
     pi.add_argument("--stage-checkpoint", default=None,
                     help="run_stage orbax checkpoint (e.g. ckpt/stage3_final) "
                          "to fold into the pipeline before inference")

@@ -7,8 +7,12 @@ this provides the same serving surface with zero dependencies:
     POST /generate   JSON {audio_b64?: wav bytes, text?: str, steps?: int,
                            cfg?: float, norm?: float, seed?: int,
                            model_type?: str, sampler?: str,
-                           negative?: str}
+                           negative?: str,
+                           init_image_b64?: png/jpg bytes, strength?: float,
+                           audio2_b64?: wav bytes, audio_mix?: float}
                      -> JSON {image_b64: png bytes, info: {...}}
+                     init_image_b64 runs SDEdit-style img2img; audio2_b64
+                     blends two audio sources' CLAP embeddings.
     POST /generate_batch
                      JSON {requests: [{audio_b64?, text?, negative?}, ...],
                            steps?, cfg?, norm?, seed?, model_type?, sampler?}
@@ -54,14 +58,25 @@ class InferenceService:
         self.tok = CLIPTokenizer(max_length=self.cfg.diffusion.clip_text.max_length)
         self._lock = threading.Lock()
 
-    def _decode_audio(self, req: dict):
-        if not req.get("audio_b64"):
+    def _decode_audio(self, req: dict, key: str = "audio_b64"):
+        if not req.get(key):
             return None
-        raw = base64.b64decode(req["audio_b64"])
+        raw = base64.b64decode(req[key])
         with tempfile.NamedTemporaryFile(suffix=".wav") as f:
             f.write(raw)
             f.flush()
             return self.pipe.load_audio(f.name)
+
+    def _decode_init_image(self, req: dict):
+        if not req.get("init_image_b64"):
+            return None
+        from PIL import Image
+
+        size = self.cfg.diffusion.image_size
+        img = Image.open(io.BytesIO(base64.b64decode(req["init_image_b64"])))
+        return np.asarray(
+            img.convert("RGB").resize((size, size), Image.LANCZOS), np.uint8
+        )
 
     def _knobs(self, req: dict) -> dict:
         return {
@@ -102,6 +117,10 @@ class InferenceService:
                 waveform=wav,
                 text_ids=self.tok(req.get("text", "")),
                 uncond_ids=self.tok(str(req.get("negative", ""))),
+                init_image=self._decode_init_image(req),
+                strength=float(req.get("strength", 0.8)),
+                waveform2=self._decode_audio(req, "audio2_b64"),
+                audio_mix=float(req.get("audio_mix", 0.5)),
                 **params,
             )
         img = np.asarray(img_dev)[0]  # blocking fetch OUTSIDE the lock

@@ -86,18 +86,44 @@ def ddim_step(
     return (jnp.sqrt(a_prev) * x0 + dir_xt).astype(latents.dtype)
 
 
+def img2img_timesteps(
+    num_inference_steps: int,
+    strength: float,
+    num_train_timesteps: int = 1000,
+) -> jax.Array:
+    """Tail slice of the DDIM grid for SDEdit-style img2img.
+
+    ``strength`` in (0, 1]: fraction of the schedule actually denoised. The
+    init latent is noised to the first returned timestep; ``strength=1.0``
+    returns the full grid (pure generation dynamics from a noised init).
+    Matches the diffusers img2img convention (run the last
+    ``round(steps*strength)`` timesteps).
+    """
+    if not 0.0 < strength <= 1.0:
+        raise ValueError(f"strength must be in (0, 1], got {strength}")
+    ts = ddim_timesteps(num_inference_steps, num_train_timesteps)
+    k = min(num_inference_steps, max(1, round(num_inference_steps * strength)))
+    return ts[num_inference_steps - k:]
+
+
 def ddim_sample(
     eps_fn: Callable[[jax.Array, jax.Array], jax.Array],
     schedule: NoiseSchedule,
     latents: jax.Array,
     num_inference_steps: int = 50,
+    timesteps: jax.Array | None = None,
 ) -> jax.Array:
     """Run the full DDIM loop as one lax.scan.
 
     ``eps_fn(latents, t)`` predicts epsilon (CFG folding happens inside it —
-    see ``cfg_eps_fn``).
+    see ``cfg_eps_fn``). ``timesteps`` overrides the grid (descending; used
+    by img2img to run only the tail of the schedule).
     """
-    ts = ddim_timesteps(num_inference_steps, schedule.num_train_timesteps)
+    ts = (
+        ddim_timesteps(num_inference_steps, schedule.num_train_timesteps)
+        if timesteps is None
+        else timesteps
+    )
     ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
 
     def body(lat, tt):
@@ -114,6 +140,7 @@ def dpmpp_2m_sample(
     schedule: NoiseSchedule,
     latents: jax.Array,
     num_inference_steps: int = 20,
+    timesteps: jax.Array | None = None,
 ) -> jax.Array:
     """DPM-Solver++(2M): deterministic second-order multistep sampler.
 
@@ -125,7 +152,11 @@ def dpmpp_2m_sample(
     ``ddim_sample``. Same leading-spaced timestep grid as DDIM so the two
     samplers differ only in the update rule.
     """
-    ts = ddim_timesteps(num_inference_steps, schedule.num_train_timesteps)
+    ts = (
+        ddim_timesteps(num_inference_steps, schedule.num_train_timesteps)
+        if timesteps is None
+        else timesteps
+    )
     ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
 
     def coeffs(t, t_is_final):

@@ -37,7 +37,12 @@ from clap2diffusion_tpu.models.clip_text import CLIPTextEncoder
 from clap2diffusion_tpu.models.condition import AudioAdapter, HierarchicalAudioEncoder
 from clap2diffusion_tpu.models.unet import UNet2DCondition
 from clap2diffusion_tpu.models.vae import AutoencoderKL
-from clap2diffusion_tpu.diffusion.ddim import SAMPLERS, NoiseSchedule, cfg_eps_fn
+from clap2diffusion_tpu.diffusion.ddim import (
+    SAMPLERS,
+    NoiseSchedule,
+    cfg_eps_fn,
+    ddim_timesteps,
+)
 from clap2diffusion_tpu.ops.token_norm import rescale_to_norm
 
 
@@ -243,7 +248,7 @@ class AudioToImagePipeline:
         }
         return rescale_to_norm(tokens77, norm_target), routed
 
-    @functools.partial(jax.jit, static_argnums=(0, 5, 7, 9, 12))
+    @functools.partial(jax.jit, static_argnums=(0, 5, 7, 9, 12, 13))
     def _generate_jit(
         self,
         params,
@@ -258,6 +263,10 @@ class AudioToImagePipeline:
         norm_target: jax.Array,
         temperature: jax.Array,
         sampler: str = "ddim",
+        init_steps: int = 0,
+        init_image: Optional[jax.Array] = None,
+        waveform2: Optional[jax.Array] = None,
+        audio_mix: Optional[jax.Array] = None,
     ) -> jax.Array:
         # PRNG key derived on device: a host-side jax.random.key() is its own
         # dispatch, and on the tunneled backend every dispatch costs a ~30 ms
@@ -267,11 +276,24 @@ class AudioToImagePipeline:
         # (a separate encode call costs an extra host round-trip).
         clap_emb = None
         if waveform is not None:
-            waveform = _dequantize_pcm16(waveform)
-            mel = log_mel_spectrogram(waveform, self.cfg.clap.frontend)
+            wf = _dequantize_pcm16(waveform)
+            if waveform2 is not None:
+                # Compositional serving: encode both sources in ONE batched
+                # CLAP call, blend embeddings, re-normalize (CLAP embeddings
+                # live on the unit sphere). The serve-time counterpart of the
+                # dataset's balanced/creative composition pairing
+                # (reference data/dataset.py:133-181).
+                wf = jnp.concatenate([wf, _dequantize_pcm16(waveform2)], axis=0)
+            mel = log_mel_spectrogram(wf, self.cfg.clap.frontend)
             clap_emb = self.m.clap_audio.apply(
                 {"params": params["clap_audio"]}, mel
             )
+            if waveform2 is not None:
+                n = clap_emb.shape[0] // 2
+                mixed = audio_mix * clap_emb[:n] + (1.0 - audio_mix) * clap_emb[n:]
+                clap_emb = mixed / jnp.maximum(
+                    jnp.linalg.norm(mixed, axis=-1, keepdims=True), 1e-8
+                )
             if batch > 1 and clap_emb.shape[0] == 1:
                 clap_emb = jnp.broadcast_to(clap_emb, (batch, clap_emb.shape[1]))
         # one batched CLIP call for cond+uncond prompts
@@ -301,10 +323,32 @@ class AudioToImagePipeline:
             audio_cond=routed, audio_uncond=routed,
         )
         lat_size = self.cfg.diffusion.image_size // 8
-        latents = jax.random.normal(
-            rng, (batch, lat_size, lat_size, 4)
-        ).astype(self.compute_dtype)
-        latents = SAMPLERS[sampler](eps_fn, self.schedule, latents, num_steps)
+        if init_steps > 0 and init_image is not None:
+            # SDEdit-style img2img: VAE-encode the init image, noise it to
+            # the first timestep of the tail slice, denoise only that tail.
+            ts_full = ddim_timesteps(num_steps, self.schedule.num_train_timesteps)
+            ts = ts_full[num_steps - init_steps:]
+            rng_enc, rng_noise = jax.random.split(rng)
+            x = (init_image.astype(jnp.float32) / 127.5 - 1.0).astype(
+                self.compute_dtype
+            )
+            if batch > 1 and x.shape[0] == 1:
+                x = jnp.broadcast_to(x, (batch,) + x.shape[1:])
+            x0 = self.m.vae.apply(
+                {"params": params["vae"]}, x, rng_enc,
+                method=AutoencoderKL.sample_latent,
+            )
+            noise = jax.random.normal(rng_noise, x0.shape).astype(x0.dtype)
+            t0 = jnp.full((x0.shape[0],), ts[0], jnp.int32)
+            latents = self.schedule.add_noise(x0, noise, t0)
+            latents = SAMPLERS[sampler](
+                eps_fn, self.schedule, latents, num_steps, timesteps=ts
+            )
+        else:
+            latents = jax.random.normal(
+                rng, (batch, lat_size, lat_size, 4)
+            ).astype(self.compute_dtype)
+            latents = SAMPLERS[sampler](eps_fn, self.schedule, latents, num_steps)
         img = self.m.vae.apply(
             {"params": params["vae"]}, latents,
             method=AutoencoderKL.decode_latent,
@@ -336,10 +380,20 @@ class AudioToImagePipeline:
         seed: int = 0,
         batch: int = 1,
         sampler: Optional[str] = None,
+        init_image: Optional[np.ndarray] = None,
+        strength: float = 0.8,
+        waveform2: Optional[np.ndarray] = None,
+        audio_mix: float = 0.5,
     ) -> jax.Array:
         """Asynchronous ``generate``: prepares args and dispatches the one
         jitted program, returning the on-device image without fetching it
-        (dispatch itself is ~10 ms; see ``generate_stream``)."""
+        (dispatch itself is ~10 ms; see ``generate_stream``).
+
+        Beyond the reference surface: ``init_image`` (uint8 [H,W,3] or
+        [B,H,W,3]) + ``strength`` runs SDEdit-style img2img (VAE-encode,
+        noise to ``round(steps*strength)`` from the schedule tail, denoise
+        that tail); ``waveform2`` + ``audio_mix`` blends two audio sources'
+        CLAP embeddings (``audio_mix`` = weight of the first)."""
         sch = self.cfg.diffusion.scheduler
         sampler = sampler or sch.sampler
         if sampler not in SAMPLERS:
@@ -364,13 +418,37 @@ class AudioToImagePipeline:
         # dispatch, and on the tunneled backend every dispatch is a ~30 ms
         # round-trip — six of them cost ~0.2 s of the ~1.3 s image budget.
         # numpy args ride along with the one _generate_jit dispatch.
-        wav = None
-        if waveform is not None:
-            wav = np.asarray(waveform)
-            if wav.dtype != np.int16:  # int16 rides through (PCM16 path)
-                wav = wav.astype(np.float32)
-            if wav.ndim == 1:
-                wav = wav[None]
+        def prep_wav(w):
+            if w is None:
+                return None
+            w = np.asarray(w)
+            if w.dtype != np.int16:  # int16 rides through (PCM16 path)
+                w = w.astype(np.float32)
+            return w[None] if w.ndim == 1 else w
+
+        wav = prep_wav(waveform)
+        wav2 = prep_wav(waveform2)
+        if wav2 is not None and wav is None:
+            raise ValueError("waveform2 requires waveform")
+
+        init_steps = 0
+        init = None
+        if init_image is not None:
+            from clap2diffusion_tpu.diffusion.ddim import img2img_timesteps
+
+            # validates strength and fixes the (static) tail length
+            init_steps = int(
+                img2img_timesteps(num_steps, strength,
+                                  self.schedule.num_train_timesteps).shape[0]
+            )
+            init = np.asarray(init_image, np.uint8)
+            if init.ndim == 3:
+                init = init[None]
+            size = self.cfg.diffusion.image_size
+            if init.shape[1:3] != (size, size):
+                raise ValueError(
+                    f"init_image must be {size}x{size}, got {init.shape[1:3]}"
+                )
 
         return self._generate_jit(
             self.params,
@@ -385,6 +463,10 @@ class AudioToImagePipeline:
             np.float32(norm_target),
             np.float32(temperature),
             sampler,
+            init_steps,
+            init,
+            wav2,
+            np.float32(audio_mix) if wav2 is not None else None,
         )
 
     def generate_stream(self, requests, *, depth: int = 2, **shared):

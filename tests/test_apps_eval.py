@@ -319,6 +319,31 @@ def test_http_server_generate(tmp_path):
             assert False
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+        # img2img + audio blend fields round-trip
+        init_png = io.BytesIO()
+        Image.fromarray(
+            np.random.default_rng(0).integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        ).save(init_png, format="PNG")
+        req = json.dumps({
+            "audio_b64": base64.b64encode(wav_path.read_bytes()).decode(),
+            "audio2_b64": base64.b64encode(wav_path.read_bytes()).decode(),
+            "audio_mix": 0.3,
+            "init_image_b64": base64.b64encode(init_png.getvalue()).decode(),
+            "strength": 0.5,
+            "text": "a dog barks",
+            "steps": 2,
+            "seed": 5,
+        }).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=req,
+                headers={"Content-Type": "application/json"},
+            )
+        )
+        out = json.loads(r.read())
+        img = Image.open(io.BytesIO(base64.b64decode(out["image_b64"])))
+        assert img.size == (64, 64)
     finally:
         server.shutdown()
 

@@ -167,3 +167,68 @@ def test_generate_sharded_mesh(pipe, eight_devices):
     )
     assert dpm.shape == (8, 64, 64, 3)
     assert np.abs(dpm[0].astype(int) - imgs[0].astype(int)).max() > 0
+
+
+def test_img2img_preserves_low_strength(pipe):
+    """SDEdit property at the API level: low strength keeps the output near
+    the init image; higher strength moves it further. Also pins the static
+    tail-slice length and determinism."""
+    rng = np.random.default_rng(7)
+    wav = rng.normal(size=24_000).astype(np.float32) * 0.1
+    init = rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8)
+
+    def dist(strength):
+        img = pipe.generate(
+            waveform=wav, num_steps=3, seed=3,
+            init_image=init, strength=strength,
+        )
+        assert img.shape == (1, 64, 64, 3)
+        return float(
+            np.mean(np.abs(img[0].astype(np.float32) - init.astype(np.float32)))
+        )
+
+    d_low, d_high = dist(1.0 / 3.0), dist(1.0)
+    assert d_low < d_high, (d_low, d_high)
+
+    a = pipe.generate(waveform=wav, num_steps=3, seed=3,
+                      init_image=init, strength=0.67)
+    b = pipe.generate(waveform=wav, num_steps=3, seed=3,
+                      init_image=init, strength=0.67)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_img2img_validates_inputs(pipe):
+    import pytest as _pytest
+
+    init = np.zeros((32, 32, 3), np.uint8)  # wrong resolution
+    with _pytest.raises(ValueError, match="init_image must be"):
+        pipe.generate(num_steps=3, init_image=init)
+    with _pytest.raises(ValueError, match="strength"):
+        pipe.generate(num_steps=3,
+                      init_image=np.zeros((64, 64, 3), np.uint8),
+                      strength=0.0)
+
+
+def test_audio_mix_endpoints(pipe):
+    """audio_mix=1.0 must reproduce the single-audio image (the blend is
+    exact at the endpoint: 1*e1 + 0*e2, renormalized on an already-unit
+    vector); intermediate mixes produce something in between (different
+    from both endpoints)."""
+    rng = np.random.default_rng(11)
+    wav1 = rng.normal(size=24_000).astype(np.float32) * 0.1
+    wav2 = rng.normal(size=24_000).astype(np.float32) * 0.1
+
+    solo = pipe.generate(waveform=wav1, num_steps=3, seed=5)
+    mixed_full = pipe.generate(waveform=wav1, waveform2=wav2,
+                               audio_mix=1.0, num_steps=3, seed=5)
+    np.testing.assert_allclose(
+        solo.astype(np.float32), mixed_full.astype(np.float32), atol=2
+    )
+
+    half = pipe.generate(waveform=wav1, waveform2=wav2,
+                         audio_mix=0.5, num_steps=3, seed=5)
+    assert np.abs(half.astype(np.float32) - solo.astype(np.float32)).max() > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="waveform2 requires"):
+        pipe.generate(waveform2=wav2, num_steps=3)
