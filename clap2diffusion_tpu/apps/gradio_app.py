@@ -33,10 +33,12 @@ def build_generator(cfg: Config):
 
     def generate(audio_path, prompt, model_name, norm_value, steps, cfg_scale,
                  seed, sampler="ddim", negative="", init_image=None,
-                 strength=0.8, audio2_path=None, audio_mix=0.5):
+                 strength=0.8, audio2_path=None, audio_mix=0.5,
+                 mask_image=None):
         wav = pipe.load_audio(audio_path) if audio_path else None
         text_ids = tok(prompt or "")
         init = None
+        mask = None
         if init_image is not None:
             from PIL import Image
 
@@ -47,6 +49,13 @@ def build_generator(cfg: Config):
                 ),
                 np.uint8,
             )
+            if mask_image is not None:
+                mask = np.asarray(
+                    Image.fromarray(np.asarray(mask_image)).convert("L").resize(
+                        (size, size), Image.NEAREST
+                    ),
+                    np.uint8,
+                )
         img = pipe.generate(
             waveform=wav,
             text_ids=text_ids,
@@ -61,6 +70,7 @@ def build_generator(cfg: Config):
             strength=float(strength),
             waveform2=pipe.load_audio(audio2_path) if audio2_path else None,
             audio_mix=float(audio_mix),
+            mask_image=mask,
         )[0]
         info = (
             f"model={model_name} steps={int(steps)} cfg={cfg_scale} "
@@ -108,6 +118,8 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
                     init_img = gr.Image(label="Init image (SDEdit)")
                     strength = gr.Slider(0.05, 1.0, value=0.8,
                                          label="img2img strength")
+                    mask_img = gr.Image(label="Inpaint mask (white = "
+                                              "regenerate)")
                     audio2 = gr.Audio(type="filepath",
                                       label="Second audio (blend)")
                     mix = gr.Slider(0.0, 1.0, value=0.5,
@@ -119,7 +131,7 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
         btn.click(
             generate,
             [audio, prompt, model, norm, steps, cfg_s, seed, sampler, negative,
-             init_img, strength, audio2, mix],
+             init_img, strength, audio2, mix, mask_img],
             [image, info],
         )
 

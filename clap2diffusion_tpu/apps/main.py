@@ -117,6 +117,7 @@ def cmd_infer(args) -> int:
     text_ids = tok(args.text or "")
     uncond_ids = tok(args.negative_text or "")
     init = None
+    mask = None
     if args.init_image:
         size = pipe.cfg.diffusion.image_size
         init = np.asarray(
@@ -125,6 +126,13 @@ def cmd_infer(args) -> int:
             ),
             np.uint8,
         )
+        if args.mask_image:
+            mask = np.asarray(
+                Image.open(args.mask_image).convert("L").resize(
+                    (size, size), Image.NEAREST
+                ),
+                np.uint8,
+            )
     images = pipe.generate(
         waveform=wav,
         text_ids=text_ids,
@@ -140,6 +148,7 @@ def cmd_infer(args) -> int:
         strength=args.strength,
         waveform2=pipe.load_audio(args.audio2) if args.audio2 else None,
         audio_mix=args.audio_mix,
+        mask_image=mask,
     )
     for i, img in enumerate(images):
         out = args.output if args.batch == 1 else args.output.replace(
@@ -287,6 +296,10 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--strength", type=float, default=0.8,
                     help="img2img denoise strength in (0,1]; lower preserves "
                          "more of --init-image")
+    pi.add_argument("--mask-image", default=None,
+                    help="inpainting mask (grayscale; nonzero = regenerate); "
+                         "requires --init-image, use --strength 1.0 for pure "
+                         "inpainting")
     pi.add_argument("--audio2", default=None,
                     help="second audio source; its CLAP embedding is blended "
                          "with --audio's (compositional serving)")

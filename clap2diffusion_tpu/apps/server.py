@@ -9,10 +9,13 @@ this provides the same serving surface with zero dependencies:
                            model_type?: str, sampler?: str,
                            negative?: str,
                            init_image_b64?: png/jpg bytes, strength?: float,
+                           mask_image_b64?: grayscale png bytes,
                            audio2_b64?: wav bytes, audio_mix?: float}
                      -> JSON {image_b64: png bytes, info: {...}}
-                     init_image_b64 runs SDEdit-style img2img; audio2_b64
-                     blends two audio sources' CLAP embeddings.
+                     init_image_b64 runs SDEdit-style img2img;
+                     mask_image_b64 (nonzero = regenerate) turns it into
+                     inpainting; audio2_b64 blends two audio sources' CLAP
+                     embeddings.
     POST /generate_batch
                      JSON {requests: [{audio_b64?, text?, negative?}, ...],
                            steps?, cfg?, norm?, seed?, model_type?, sampler?}
@@ -67,15 +70,17 @@ class InferenceService:
             f.flush()
             return self.pipe.load_audio(f.name)
 
-    def _decode_init_image(self, req: dict):
-        if not req.get("init_image_b64"):
+    def _decode_init_image(self, req: dict, key: str = "init_image_b64",
+                           mode: str = "RGB"):
+        if not req.get(key):
             return None
         from PIL import Image
 
         size = self.cfg.diffusion.image_size
-        img = Image.open(io.BytesIO(base64.b64decode(req["init_image_b64"])))
+        img = Image.open(io.BytesIO(base64.b64decode(req[key])))
+        resample = Image.NEAREST if mode == "L" else Image.LANCZOS
         return np.asarray(
-            img.convert("RGB").resize((size, size), Image.LANCZOS), np.uint8
+            img.convert(mode).resize((size, size), resample), np.uint8
         )
 
     def _knobs(self, req: dict) -> dict:
@@ -119,6 +124,7 @@ class InferenceService:
                 uncond_ids=self.tok(str(req.get("negative", ""))),
                 init_image=self._decode_init_image(req),
                 strength=float(req.get("strength", 0.8)),
+                mask_image=self._decode_init_image(req, "mask_image_b64", "L"),
                 waveform2=self._decode_audio(req, "audio2_b64"),
                 audio_mix=float(req.get("audio_mix", 0.5)),
                 **params,

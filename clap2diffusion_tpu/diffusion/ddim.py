@@ -112,12 +112,16 @@ def ddim_sample(
     latents: jax.Array,
     num_inference_steps: int = 50,
     timesteps: jax.Array | None = None,
+    blend_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
 ) -> jax.Array:
     """Run the full DDIM loop as one lax.scan.
 
     ``eps_fn(latents, t)`` predicts epsilon (CFG folding happens inside it —
     see ``cfg_eps_fn``). ``timesteps`` overrides the grid (descending; used
-    by img2img to run only the tail of the schedule).
+    by img2img to run only the tail of the schedule). ``blend_fn(lat,
+    t_prev)`` post-processes each update (inpainting re-imposes the known
+    region there); it stays inside the one scan, so the hook is free when
+    unused.
     """
     ts = (
         ddim_timesteps(num_inference_steps, schedule.num_train_timesteps)
@@ -129,7 +133,10 @@ def ddim_sample(
     def body(lat, tt):
         t, t_prev = tt
         eps = eps_fn(lat, t)
-        return ddim_step(schedule, lat, eps, t, t_prev), None
+        lat = ddim_step(schedule, lat, eps, t, t_prev)
+        if blend_fn is not None:
+            lat = blend_fn(lat, t_prev)
+        return lat, None
 
     final, _ = jax.lax.scan(body, latents, (ts, ts_prev))
     return final
@@ -141,6 +148,7 @@ def dpmpp_2m_sample(
     latents: jax.Array,
     num_inference_steps: int = 20,
     timesteps: jax.Array | None = None,
+    blend_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
 ) -> jax.Array:
     """DPM-Solver++(2M): deterministic second-order multistep sampler.
 
@@ -184,7 +192,10 @@ def dpmpp_2m_sample(
             first, x0, (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * prev_x0
         )
         new_lat = (sigma_n / sigma_t) * lat32 - alpha_n * (jnp.exp(-h) - 1.0) * d
-        return (new_lat.astype(lat.dtype), x0, lam_t, jnp.zeros((), bool)), None
+        new_lat = new_lat.astype(lat.dtype)
+        if blend_fn is not None:
+            new_lat = blend_fn(new_lat, t_prev)
+        return (new_lat, x0, lam_t, jnp.zeros((), bool)), None
 
     lam0 = coeffs(ts[0], False)[2]
     carry0 = (latents, jnp.zeros_like(latents, jnp.float32), lam0,

@@ -267,6 +267,7 @@ class AudioToImagePipeline:
         init_image: Optional[jax.Array] = None,
         waveform2: Optional[jax.Array] = None,
         audio_mix: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         # PRNG key derived on device: a host-side jax.random.key() is its own
         # dispatch, and on the tunneled backend every dispatch costs a ~30 ms
@@ -341,8 +342,28 @@ class AudioToImagePipeline:
             noise = jax.random.normal(rng_noise, x0.shape).astype(x0.dtype)
             t0 = jnp.full((x0.shape[0],), ts[0], jnp.int32)
             latents = self.schedule.add_noise(x0, noise, t0)
+            blend_fn = None
+            if mask is not None:
+                # Inpainting: after every sampler update, re-impose the
+                # known (mask=0) region as the init latent noised to the
+                # step's noise level (x0 exactly at the final step). The
+                # blend lives inside the scan — still one device program.
+                m = mask.astype(jnp.float32)
+
+                def blend_fn(lat, t_prev):
+                    tp = jnp.full((x0.shape[0],), jnp.maximum(t_prev, 0),
+                                  jnp.int32)
+                    known = jnp.where(
+                        t_prev >= 0,
+                        self.schedule.add_noise(x0, noise, tp),
+                        x0,
+                    )
+                    out = m * lat.astype(jnp.float32) + (1.0 - m) * known.astype(jnp.float32)
+                    return out.astype(lat.dtype)
+
             latents = SAMPLERS[sampler](
-                eps_fn, self.schedule, latents, num_steps, timesteps=ts
+                eps_fn, self.schedule, latents, num_steps, timesteps=ts,
+                blend_fn=blend_fn,
             )
         else:
             latents = jax.random.normal(
@@ -384,6 +405,7 @@ class AudioToImagePipeline:
         strength: float = 0.8,
         waveform2: Optional[np.ndarray] = None,
         audio_mix: float = 0.5,
+        mask_image: Optional[np.ndarray] = None,
     ) -> jax.Array:
         """Asynchronous ``generate``: prepares args and dispatches the one
         jitted program, returning the on-device image without fetching it
@@ -392,8 +414,10 @@ class AudioToImagePipeline:
         Beyond the reference surface: ``init_image`` (uint8 [H,W,3] or
         [B,H,W,3]) + ``strength`` runs SDEdit-style img2img (VAE-encode,
         noise to ``round(steps*strength)`` from the schedule tail, denoise
-        that tail); ``waveform2`` + ``audio_mix`` blends two audio sources'
-        CLAP embeddings (``audio_mix`` = weight of the first)."""
+        that tail); ``mask_image`` (uint8 [H,W], nonzero = regenerate)
+        turns that into inpainting (use ``strength=1.0`` for pure
+        inpainting); ``waveform2`` + ``audio_mix`` blends two audio
+        sources' CLAP embeddings (``audio_mix`` = weight of the first)."""
         sch = self.cfg.diffusion.scheduler
         sampler = sampler or sch.sampler
         if sampler not in SAMPLERS:
@@ -431,8 +455,11 @@ class AudioToImagePipeline:
         if wav2 is not None and wav is None:
             raise ValueError("waveform2 requires waveform")
 
+        if mask_image is not None and init_image is None:
+            raise ValueError("mask_image requires init_image")
         init_steps = 0
         init = None
+        mask = None
         if init_image is not None:
             from clap2diffusion_tpu.diffusion.ddim import img2img_timesteps
 
@@ -449,6 +476,21 @@ class AudioToImagePipeline:
                 raise ValueError(
                     f"init_image must be {size}x{size}, got {init.shape[1:3]}"
                 )
+            if mask_image is not None:
+                m = np.asarray(mask_image)
+                if m.shape[-2:] != (size, size):
+                    raise ValueError(
+                        f"mask_image must be {size}x{size}, got {m.shape[-2:]}"
+                    )
+                if m.ndim == 2:
+                    m = m[None]
+                # latent-resolution soft mask by 8x8 block mean, prepared on
+                # host (numpy) so the device program sees a tiny array
+                lat = size // 8
+                m = (m.astype(np.float32) / max(1.0, float(m.max()))).reshape(
+                    m.shape[0], lat, 8, lat, 8
+                ).mean(axis=(2, 4))
+                mask = m[..., None].astype(np.float32)
 
         return self._generate_jit(
             self.params,
@@ -467,6 +509,7 @@ class AudioToImagePipeline:
             init,
             wav2,
             np.float32(audio_mix) if wav2 is not None else None,
+            mask,
         )
 
     def generate_stream(self, requests, *, depth: int = 2, **shared):

@@ -325,12 +325,18 @@ def test_http_server_generate(tmp_path):
         Image.fromarray(
             np.random.default_rng(0).integers(0, 255, (64, 64, 3)).astype(np.uint8)
         ).save(init_png, format="PNG")
+        mask_png = io.BytesIO()
+        Image.fromarray(
+            (np.arange(64)[None, :] >= 32).astype(np.uint8) * 255
+            * np.ones((64, 1), np.uint8)
+        ).save(mask_png, format="PNG")
         req = json.dumps({
             "audio_b64": base64.b64encode(wav_path.read_bytes()).decode(),
             "audio2_b64": base64.b64encode(wav_path.read_bytes()).decode(),
             "audio_mix": 0.3,
             "init_image_b64": base64.b64encode(init_png.getvalue()).decode(),
             "strength": 0.5,
+            "mask_image_b64": base64.b64encode(mask_png.getvalue()).decode(),
             "text": "a dog barks",
             "steps": 2,
             "seed": 5,

@@ -232,3 +232,52 @@ def test_audio_mix_endpoints(pipe):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="waveform2 requires"):
         pipe.generate(waveform2=wav2, num_steps=3)
+
+
+def test_inpainting_mask_semantics(pipe):
+    """Inpainting pins: (a) an all-ones mask (regenerate everywhere) is
+    bit-identical to plain img2img — the blend is exact identity at m=1;
+    (b) a half mask differs from both no-mask and full-keep outputs in the
+    masked half; (c) mask without init raises; (d) determinism."""
+    import pytest as _pytest
+
+    rng = np.random.default_rng(13)
+    wav = rng.normal(size=24_000).astype(np.float32) * 0.1
+    init = rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8)
+    kw = dict(waveform=wav, num_steps=3, seed=9, init_image=init,
+              strength=1.0)
+
+    plain = pipe.generate(**kw)
+    ones = pipe.generate(**kw, mask_image=np.full((64, 64), 255, np.uint8))
+    np.testing.assert_array_equal(plain, ones)
+
+    half_mask = np.zeros((64, 64), np.uint8)
+    half_mask[:, 32:] = 255  # regenerate the right half only
+    half = pipe.generate(**kw, mask_image=half_mask)
+    assert half.shape == (1, 64, 64, 3)
+    # masked (regenerated) half tracks the plain generation more closely
+    # than the kept half does
+    d_right = np.abs(half[0, :, 32:].astype(int) - plain[0, :, 32:].astype(int)).mean()
+    d_left = np.abs(half[0, :, :32].astype(int) - plain[0, :, :32].astype(int)).mean()
+    assert d_right < d_left, (d_right, d_left)
+
+    again = pipe.generate(**kw, mask_image=half_mask)
+    np.testing.assert_array_equal(half, again)
+
+    with _pytest.raises(ValueError, match="mask_image requires"):
+        pipe.generate(waveform=wav, num_steps=3,
+                      mask_image=half_mask)
+    with _pytest.raises(ValueError, match="mask_image must be"):
+        pipe.generate(**kw, mask_image=np.zeros((16, 16), np.uint8))
+
+
+def test_inpainting_dpmpp_sampler(pipe):
+    """The blend hook also rides the DPM-Solver++(2M) scan."""
+    rng = np.random.default_rng(17)
+    wav = rng.normal(size=24_000).astype(np.float32) * 0.1
+    init = rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8)
+    mask = np.zeros((64, 64), np.uint8)
+    mask[16:48, 16:48] = 255
+    img = pipe.generate(waveform=wav, num_steps=3, seed=2, init_image=init,
+                        strength=1.0, mask_image=mask, sampler="dpmpp_2m")
+    assert img.shape == (1, 64, 64, 3)
