@@ -305,6 +305,11 @@ class StageConfig:
     # steps executed inside ONE jit call (lax.scan over stacked batches);
     # >1 amortizes per-dispatch latency — essential on remote-tunneled TPUs
     steps_per_call: int = 1
+    # rank > 0 adds REAL low-rank adapters on the UNet cross-attention
+    # kernels in stage 2 (train/lora.py) — the reference's "setup_lora
+    # _training" is LoRA in name only (reference train_stage2.py:67-91)
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
     loss_weights: Dict[str, float] = field(default_factory=dict)
 
 

@@ -105,6 +105,13 @@ def merge_stage_params(
         src = jax.tree.map(lambda x: np.asarray(x).astype(dtype), src)
     if stage == 1:
         return {**pipeline_params, "adapter": src}
+    if "lora" in src:
+        # stage 2 trained with real LoRA adapters (train/lora.py): fold
+        # them into the UNet kernels for serving, drop the adapter tree
+        from clap2diffusion_tpu.train.lora import merge_lora
+
+        src = dict(src)
+        src["unet"] = merge_lora(src["unet"], src.pop("lora"))
     return {**pipeline_params, **src}
 
 

@@ -200,7 +200,14 @@ def make_stage2_step(cfg: Config):
     unet = UNet2DCondition(cfg=cfg.diffusion.unet)
     schedule = NoiseSchedule.create(cfg.diffusion.scheduler)
     scfg = cfg.train.stage2
-    trainable = path_matcher("decomposer", "projector", "audio_inject")
+    base_trainable = path_matcher("decomposer", "projector", "audio_inject")
+    if scfg.lora_rank > 0:
+        from clap2diffusion_tpu.train.lora import lora_trainable, merge_lora
+
+        def trainable(path: tuple) -> bool:
+            return base_trainable(path) or lora_trainable(path)
+    else:
+        trainable = base_trainable
     cast = _compute_cast(cfg)
 
     def init_tx(params):
@@ -218,8 +225,13 @@ def make_stage2_step(cfg: Config):
                 deterministic=False, rngs={"dropout": rng_d},
             )
             noisy, noise, t = _sample_noising(schedule, batch["latent"], rng_noise)
+            unet_params = cast(params["unet"])
+            if scfg.lora_rank > 0:
+                # fold the adapters at trace time: loop-invariant under the
+                # steps_per_call scan, gradients reach only (A, B)
+                unet_params = merge_lora(unet_params, params["lora"])
             eps = unet.apply(
-                {"params": cast(params["unet"])}, cast(noisy), t,
+                {"params": unet_params}, cast(noisy), t,
                 cast(batch["text_ctx"]), cast(info["routed"]),
             )
             losses = {

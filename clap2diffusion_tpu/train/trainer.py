@@ -207,6 +207,13 @@ def run_stage(
     elif stage == 2:
         step_fn, init_tx, _ = make_stage2_step(cfg)
         stage_params = {"hierarchical": params["hierarchical"], "unet": params["unet"]}
+        if scfg.lora_rank > 0:
+            from clap2diffusion_tpu.train.lora import init_lora
+
+            stage_params["lora"] = init_lora(
+                params["unet"], scfg.lora_rank,
+                jax.random.key(seed + 0x10A5), alpha=scfg.lora_alpha,
+            )
         keys = ("clap", "latent", "text_ctx")
     elif stage == 3:
         step_fn, init_tx, _ = make_stage3_step(cfg)
