@@ -37,25 +37,16 @@ def build_generator(cfg: Config):
                  mask_image=None):
         wav = pipe.load_audio(audio_path) if audio_path else None
         text_ids = tok(prompt or "")
-        init = None
-        mask = None
-        if init_image is not None:
-            from PIL import Image
-
-            size = cfg.diffusion.image_size
-            init = np.asarray(
-                Image.fromarray(np.asarray(init_image)).convert("RGB").resize(
-                    (size, size), Image.LANCZOS
-                ),
-                np.uint8,
-            )
-            if mask_image is not None:
-                mask = np.asarray(
-                    Image.fromarray(np.asarray(mask_image)).convert("L").resize(
-                        (size, size), Image.NEAREST
-                    ),
-                    np.uint8,
-                )
+        # mask decoded regardless of the init image so the pipeline's
+        # "mask_image requires init_image" guard reaches the UI instead of
+        # a silently mask-less generation (review r3 finding)
+        init = (
+            pipe.load_init_image(init_image) if init_image is not None else None
+        )
+        mask = (
+            pipe.load_init_image(mask_image, mask=True)
+            if mask_image is not None else None
+        )
         img = pipe.generate(
             waveform=wav,
             text_ids=text_ids,

@@ -116,23 +116,14 @@ def cmd_infer(args) -> int:
     wav = pipe.load_audio(args.audio) if args.audio else None
     text_ids = tok(args.text or "")
     uncond_ids = tok(args.negative_text or "")
-    init = None
-    mask = None
-    if args.init_image:
-        size = pipe.cfg.diffusion.image_size
-        init = np.asarray(
-            Image.open(args.init_image).convert("RGB").resize(
-                (size, size), Image.LANCZOS
-            ),
-            np.uint8,
-        )
-        if args.mask_image:
-            mask = np.asarray(
-                Image.open(args.mask_image).convert("L").resize(
-                    (size, size), Image.NEAREST
-                ),
-                np.uint8,
-            )
+    # decode the mask regardless of --init-image so the pipeline's
+    # "mask_image requires init_image" guard surfaces instead of the mask
+    # being silently dropped (review r3 finding)
+    init = pipe.load_init_image(args.init_image) if args.init_image else None
+    mask = (
+        pipe.load_init_image(args.mask_image, mask=True)
+        if args.mask_image else None
+    )
     images = pipe.generate(
         waveform=wav,
         text_ids=text_ids,

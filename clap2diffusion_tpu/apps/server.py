@@ -71,16 +71,11 @@ class InferenceService:
             return self.pipe.load_audio(f.name)
 
     def _decode_init_image(self, req: dict, key: str = "init_image_b64",
-                           mode: str = "RGB"):
+                           mask: bool = False):
         if not req.get(key):
             return None
-        from PIL import Image
-
-        size = self.cfg.diffusion.image_size
-        img = Image.open(io.BytesIO(base64.b64decode(req[key])))
-        resample = Image.NEAREST if mode == "L" else Image.LANCZOS
-        return np.asarray(
-            img.convert(mode).resize((size, size), resample), np.uint8
+        return self.pipe.load_init_image(
+            io.BytesIO(base64.b64decode(req[key])), mask=mask
         )
 
     def _knobs(self, req: dict) -> dict:
@@ -112,23 +107,26 @@ class InferenceService:
         }
 
     def generate(self, req: dict) -> dict:
-        wav = self._decode_audio(req)
-        params = self._knobs(req)
-        # lock covers only the async enqueue (~10 ms): while this image's
+        # ALL host-side decoding (audio, init image, mask — base64 + PIL +
+        # resize can be hundreds of ms) happens OUTSIDE the lock; the lock
+        # covers only the async enqueue (~10 ms), so while this image's
         # upload/compute/download runs, a concurrent request's dispatch
         # already overlaps it — the generate_stream pipelining.
+        wav = self._decode_audio(req)
+        params = self._knobs(req)
+        kwargs = dict(
+            waveform=wav,
+            text_ids=self.tok(req.get("text", "")),
+            uncond_ids=self.tok(str(req.get("negative", ""))),
+            init_image=self._decode_init_image(req),
+            strength=float(req.get("strength", 0.8)),
+            mask_image=self._decode_init_image(req, "mask_image_b64", mask=True),
+            waveform2=self._decode_audio(req, "audio2_b64"),
+            audio_mix=float(req.get("audio_mix", 0.5)),
+            **params,
+        )
         with self._lock:
-            img_dev = self.pipe._dispatch_generate(
-                waveform=wav,
-                text_ids=self.tok(req.get("text", "")),
-                uncond_ids=self.tok(str(req.get("negative", ""))),
-                init_image=self._decode_init_image(req),
-                strength=float(req.get("strength", 0.8)),
-                mask_image=self._decode_init_image(req, "mask_image_b64", "L"),
-                waveform2=self._decode_audio(req, "audio2_b64"),
-                audio_mix=float(req.get("audio_mix", 0.5)),
-                **params,
-            )
+            img_dev = self.pipe._dispatch_generate(**kwargs)
         img = np.asarray(img_dev)[0]  # blocking fetch OUTSIDE the lock
         return {"image_b64": self._png_b64(img), "info": self._info(params)}
 

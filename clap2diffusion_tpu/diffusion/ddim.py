@@ -183,6 +183,14 @@ def dpmpp_2m_sample(
         eps = eps_fn(lat, t).astype(jnp.float32)
         lat32 = lat.astype(jnp.float32)
         x0 = (lat32 - sigma_t * eps) / alpha_t
+        if blend_fn is not None:
+            # keep the x0 HISTORY consistent with the blended trajectory:
+            # in the known region the true x0 IS the init latent, and
+            # blend_fn(x, t_prev=-1) is exactly the x0-space blend (its
+            # ``known`` term degenerates to x0_init there). Without this
+            # the 2M slope mixes x0 estimates from two different
+            # trajectories and seams at the mask edge.
+            x0 = blend_fn(x0, jnp.int32(-1)).astype(jnp.float32)
 
         h = lam_n - lam_t
         h_prev = lam_t - prev_lam

@@ -202,6 +202,31 @@ class AudioToImagePipeline:
         wav = peak_normalize(wav)  # (reference scripts/inference.py:73-83)
         return prepare_waveform(wav, sr, self.cfg.clap.frontend)
 
+    def load_init_image(self, source, mask: bool = False) -> np.ndarray:
+        """Load an init image (or inpainting mask) from a path, PIL image or
+        array into the uint8 geometry ``generate`` expects — the ONE image
+        frontend shared by the CLI, HTTP server and gradio app. Masks use
+        nearest-neighbour resizing (no interpolation halos) and grayscale."""
+        from PIL import Image
+
+        if isinstance(source, (str, bytes)) or hasattr(source, "read"):
+            img = Image.open(source)  # path or file-like (e.g. BytesIO)
+        elif isinstance(source, Image.Image):
+            img = source
+        else:
+            arr = np.asarray(source)
+            if np.issubdtype(arr.dtype, np.floating):
+                arr = (np.clip(arr, 0.0, 1.0) * 255.0).round()
+            img = Image.fromarray(arr.astype(np.uint8))
+        size = self.cfg.diffusion.image_size
+        if mask:
+            return np.asarray(
+                img.convert("L").resize((size, size), Image.NEAREST), np.uint8
+            )
+        return np.asarray(
+            img.convert("RGB").resize((size, size), Image.LANCZOS), np.uint8
+        )
+
     # -- jitted stages -------------------------------------------------------
     # NOTE: params are explicit jit arguments everywhere. Closing over
     # ``self.params`` would capture gigabytes of weights as compile-time
@@ -454,6 +479,13 @@ class AudioToImagePipeline:
         wav2 = prep_wav(waveform2)
         if wav2 is not None and wav is None:
             raise ValueError("waveform2 requires waveform")
+        if wav2 is not None and wav2.shape[0] != wav.shape[0]:
+            # the device program splits the batched CLAP output in equal
+            # halves — unequal leading dims would silently mis-blend
+            raise ValueError(
+                f"waveform2 batch {wav2.shape[0]} must match waveform "
+                f"batch {wav.shape[0]}"
+            )
 
         if mask_image is not None and init_image is None:
             raise ValueError("mask_image requires init_image")
@@ -468,7 +500,14 @@ class AudioToImagePipeline:
                 img2img_timesteps(num_steps, strength,
                                   self.schedule.num_train_timesteps).shape[0]
             )
-            init = np.asarray(init_image, np.uint8)
+            init = np.asarray(init_image)
+            if init.dtype != np.uint8:
+                # a silent uint8 cast would truncate float [0,1] images to
+                # near-black; be loud instead (load_init_image converts)
+                raise ValueError(
+                    f"init_image must be uint8 (got {init.dtype}); use "
+                    "pipeline.load_init_image() to convert"
+                )
             if init.ndim == 3:
                 init = init[None]
             size = self.cfg.diffusion.image_size
@@ -484,12 +523,19 @@ class AudioToImagePipeline:
                     )
                 if m.ndim == 2:
                     m = m[None]
+                # absolute normalization (uint8/255, bool as-is, float
+                # clipped to [0,1]) — a pixel's meaning must not depend on
+                # the rest of the mask (review r3 finding)
+                if m.dtype == np.uint8:
+                    m = m.astype(np.float32) / 255.0
+                elif m.dtype == np.bool_:
+                    m = m.astype(np.float32)
+                else:
+                    m = np.clip(m.astype(np.float32), 0.0, 1.0)
                 # latent-resolution soft mask by 8x8 block mean, prepared on
                 # host (numpy) so the device program sees a tiny array
                 lat = size // 8
-                m = (m.astype(np.float32) / max(1.0, float(m.max()))).reshape(
-                    m.shape[0], lat, 8, lat, 8
-                ).mean(axis=(2, 4))
+                m = m.reshape(m.shape[0], lat, 8, lat, 8).mean(axis=(2, 4))
                 mask = m[..., None].astype(np.float32)
 
         return self._generate_jit(

@@ -207,6 +207,13 @@ def test_img2img_validates_inputs(pipe):
         pipe.generate(num_steps=3,
                       init_image=np.zeros((64, 64, 3), np.uint8),
                       strength=0.0)
+    # float init images must be rejected loudly, not truncated to black
+    with _pytest.raises(ValueError, match="uint8"):
+        pipe.generate(num_steps=3,
+                      init_image=np.zeros((64, 64, 3), np.float32))
+    # load_init_image converts floats/paths/file-likes to the contract
+    f = pipe.load_init_image(np.full((32, 32, 3), 0.5, np.float32))
+    assert f.dtype == np.uint8 and f.shape == (64, 64, 3) and f.max() > 100
 
 
 def test_audio_mix_endpoints(pipe):
@@ -232,6 +239,10 @@ def test_audio_mix_endpoints(pipe):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="waveform2 requires"):
         pipe.generate(waveform2=wav2, num_steps=3)
+    # unequal leading dims would silently mis-blend — must raise
+    with _pytest.raises(ValueError, match="must match"):
+        pipe.generate(waveform=np.stack([wav1, wav1]), waveform2=wav2,
+                      num_steps=3, batch=2)
 
 
 def test_inpainting_mask_semantics(pipe):
@@ -272,7 +283,9 @@ def test_inpainting_mask_semantics(pipe):
 
 
 def test_inpainting_dpmpp_sampler(pipe):
-    """The blend hook also rides the DPM-Solver++(2M) scan."""
+    """The blend hook also rides the DPM-Solver++(2M) scan, and its x0
+    history stays consistent: an all-ones mask is bit-identical to plain
+    img2img under dpmpp too (both blends are exact identities at m=1)."""
     rng = np.random.default_rng(17)
     wav = rng.normal(size=24_000).astype(np.float32) * 0.1
     init = rng.integers(0, 255, size=(64, 64, 3)).astype(np.uint8)
@@ -281,3 +294,14 @@ def test_inpainting_dpmpp_sampler(pipe):
     img = pipe.generate(waveform=wav, num_steps=3, seed=2, init_image=init,
                         strength=1.0, mask_image=mask, sampler="dpmpp_2m")
     assert img.shape == (1, 64, 64, 3)
+
+    kw = dict(waveform=wav, num_steps=3, seed=2, init_image=init,
+              strength=1.0, sampler="dpmpp_2m")
+    plain = pipe.generate(**kw)
+    ones = pipe.generate(**kw, mask_image=np.full((64, 64), 255, np.uint8))
+    # the blend is an exact identity at m=1, but the blended program's x0
+    # chain fuses differently, shifting isolated roundings by one ulp
+    # (measured: 1/12288 pixels off by 1) — assert to within quantization
+    np.testing.assert_allclose(
+        plain.astype(np.int16), ones.astype(np.int16), atol=1
+    )
