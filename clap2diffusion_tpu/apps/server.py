@@ -24,6 +24,9 @@ this provides the same serving surface with zero dependencies:
                      per-image knobs that are single scalars in the jitted
                      program — steps/cfg/seed/... — are shared).
     GET  /healthz    -> 200 "ok"   (the Docker healthcheck target)
+    GET  /metrics    -> JSON {requests, errors, images, latency_s:
+                       {p50, p90, max, count}} over a sliding window —
+                       the serving observability counters.
 
 Concurrency model: the device is a serial resource, but dispatch is async —
 the lock covers only the enqueue, and the host->device upload / image
@@ -42,6 +45,7 @@ import io
 import json
 import tempfile
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -60,6 +64,43 @@ class InferenceService:
         self.pipe = AudioToImagePipeline(self.cfg, params=params)
         self.tok = CLIPTokenizer(max_length=self.cfg.diffusion.clip_text.max_length)
         self._lock = threading.Lock()
+        # serving counters (guarded by their own lock so metrics reads
+        # never contend with the dispatch lock)
+        self._mlock = threading.Lock()
+        self._requests = 0
+        self._errors = 0
+        self._images = 0
+        self._latencies: list = []  # sliding window, seconds
+
+    def record(self, latency_s: float, images: int = 1, error: bool = False):
+        with self._mlock:
+            self._requests += 1
+            if error:
+                self._errors += 1
+            else:
+                self._images += images
+                self._latencies.append(latency_s)
+                if len(self._latencies) > 512:
+                    self._latencies = self._latencies[-512:]
+
+    def metrics(self) -> dict:
+        with self._mlock:
+            lats = sorted(self._latencies)
+            out = {
+                "requests": self._requests,
+                "errors": self._errors,
+                "images": self._images,
+                "latency_s": {},
+            }
+            if lats:
+                n = len(lats)
+                out["latency_s"] = {
+                    "p50": round(lats[n // 2], 4),
+                    "p90": round(lats[min(n - 1, int(n * 0.9))], 4),
+                    "max": round(lats[-1], 4),
+                    "count": n,
+                }
+            return out
 
     def _decode_audio(self, req: dict, key: str = "audio_b64"):
         if not req.get(key):
@@ -190,6 +231,8 @@ def make_handler(service: InferenceService):
         def do_GET(self):
             if self.path in ("/", "/healthz"):
                 self._send(200, b"ok", "text/plain")
+            elif self.path == "/metrics":
+                self._send(200, json.dumps(service.metrics()).encode())
             else:
                 self._send(404, b'{"error": "not found"}')
 
@@ -202,14 +245,21 @@ def make_handler(service: InferenceService):
             if fn is None:
                 self._send(404, b'{"error": "not found"}')
                 return
+            t0 = time.perf_counter()
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 out = fn(req)
+                service.record(
+                    time.perf_counter() - t0,
+                    images=len(out["images_b64"]) if "images_b64" in out else 1,
+                )
                 self._send(200, json.dumps(out).encode())
             except ValueError as e:  # bad request payloads are the client's
+                service.record(time.perf_counter() - t0, error=True)
                 self._send(400, json.dumps({"error": str(e)}).encode())
             except Exception as e:  # surface errors as JSON, keep serving
+                service.record(time.perf_counter() - t0, error=True)
                 self._send(500, json.dumps({"error": str(e)}).encode())
 
     return Handler

@@ -350,6 +350,14 @@ def test_http_server_generate(tmp_path):
         out = json.loads(r.read())
         img = Image.open(io.BytesIO(base64.b64decode(out["image_b64"])))
         assert img.size == (64, 64)
+
+        # observability: /metrics reflects the traffic above
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            m = json.loads(r.read())
+        assert m["requests"] >= 6 and m["errors"] >= 1
+        assert m["images"] >= 6  # batch of 2 counted as 2
+        assert m["latency_s"]["count"] >= 5
+        assert m["latency_s"]["p50"] > 0
     finally:
         server.shutdown()
 

@@ -115,3 +115,31 @@ def test_stage2_lora_trains_only_adapters_and_serves(tmp_path, tiny):
         num_steps=2, seed=1,
     )
     assert img.shape == (1, 64, 64, 3)
+
+
+def test_merge_stage_params_folds_lora_from_ema(tiny):
+    """Serving the EMA shadow of a LoRA run: the dotted-key overlay must
+    reach the slash-keyed adapter leaves, and the fold must consume the
+    overlaid values (not the live ones)."""
+    from clap2diffusion_tpu.train.checkpoint import merge_stage_params
+
+    cfg, params = tiny
+    lora = init_lora(params["unet"], rank=2, rng=jax.random.key(3), alpha=2.0)
+    key = next(k for k in lora if k != "alpha")
+    stage_src = {"hierarchical": params["hierarchical"],
+                 "unet": params["unet"], "lora": lora}
+    # EMA shadow sets one adapter's b to ones; live b stays zero
+    shadow_b = np.ones_like(np.asarray(lora[key]["b"]))
+    payload = {"params": stage_src,
+               "ema_params": {f"lora.{key}.b": shadow_b}}
+    serving = merge_stage_params(params, payload, stage=2, use_ema=True)
+    assert "lora" not in serving
+    node_new, node_old = serving["unet"], params["unet"]
+    for p in key.split("/"):
+        node_new, node_old = node_new[p], node_old[p]
+    want = np.asarray(node_old) + (2.0 / 2.0) * np.asarray(
+        lora[key]["a"] @ jnp.asarray(shadow_b)
+    )
+    np.testing.assert_allclose(np.asarray(node_new), want, atol=1e-5)
+    # the LIVE payload's adapter must be untouched (no aliasing)
+    assert float(np.abs(np.asarray(lora[key]["b"])).max()) == 0.0
