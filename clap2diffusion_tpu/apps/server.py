@@ -32,9 +32,12 @@ Concurrency model: the device is a serial resource, but dispatch is async —
 the lock covers only the enqueue, and the host->device upload / image
 download of one request overlaps the device compute of its neighbour
 (the generate_stream pipelining, BENCH_NOTES.md: 4x batch-8 1.118 -> 1.167
-img/s from exactly this overlap). Launch:
+img/s from exactly this overlap). With ``--coalesce-ms N`` the server
+additionally micro-batches: concurrent simple /generate requests whose
+scalar knobs match are folded into ONE batched device program (padded to
+the next power of two; ~30% cheaper per image at batch 8). Launch:
 
-    python -m clap2diffusion_tpu.apps.server --port 7860
+    python -m clap2diffusion_tpu.apps.server --port 7860 --coalesce-ms 15
 """
 
 from __future__ import annotations
@@ -52,10 +55,138 @@ from typing import Optional
 import numpy as np
 
 
+class _Pending:
+    """One request parked in the coalescer queue."""
+
+    __slots__ = ("key", "wav", "text_ids", "uncond_ids", "event",
+                 "result", "error", "batch")
+
+    def __init__(self, key, wav, text_ids, uncond_ids):
+        self.key = key
+        self.wav = wav
+        self.text_ids = text_ids
+        self.uncond_ids = uncond_ids
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[Exception] = None
+        self.batch = 1
+
+
+class RequestCoalescer:
+    """Dynamic micro-batching for concurrent /generate requests.
+
+    The device program is ~30% cheaper per image at batch 8 than batch 1
+    (BENCH_NOTES.md), so under concurrency it pays to fold simultaneous
+    requests into ONE batched dispatch. Requests whose scalar knobs
+    (steps/cfg/norm/model_type/seed/sampler — baked into the jitted
+    program or shared across the batch) match are grouped for up to
+    ``window_ms``; the group is padded to the next power of two so the
+    jit cache holds at most log2(max_batch)+1 batched programs.
+
+    The reference has no serving batcher (its gradio app is one request
+    at a time, reference app/gradio_app.py:52-92); this is the TPU
+    production-serving counterpart.
+
+    Determinism note: lanes of one batched program draw per-lane noise
+    from the shared seed, so a request's image depends on its arrival
+    order within the group (same semantics as /generate_batch). Leave
+    coalescing off (the default) when bit-exact per-request seeds matter.
+    """
+
+    def __init__(self, service: "InferenceService", window_ms: float = 15.0,
+                 max_batch: int = 8):
+        self.service = service
+        self.window = max(window_ms, 0.0) / 1000.0
+        self.max_batch = max(int(max_batch), 1)
+        self._cv = threading.Condition()
+        self._queue: list = []
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, wav, text_ids, uncond_ids, params: dict):
+        has_audio = wav is not None
+        key = (params["num_steps"], params["guidance_scale"],
+               params["norm_target"], params["model_type"], params["seed"],
+               params["sampler"], has_audio)
+        p = _Pending(key, wav, text_ids, uncond_ids)
+        with self._cv:
+            self._queue.append(p)
+            self._cv.notify_all()
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.result, p.batch
+
+    def _worker(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                key = self._queue[0].key
+                deadline = time.monotonic() + self.window
+                while True:
+                    same = [p for p in self._queue if p.key == key]
+                    if len(same) >= self.max_batch:
+                        break
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
+                group = same[: self.max_batch]
+                for p in group:
+                    self._queue.remove(p)
+            self._run(group)
+
+    def _run(self, group: list):
+        svc = self.service
+        try:
+            n = len(group)
+            # pad to the next power of two: bounded jit-cache growth, and
+            # the padded lanes ride the same MXU pass nearly for free
+            m = 1 << (n - 1).bit_length()
+            pads = m - n
+            steps, cfg, norm, model_type, seed, sampler, has_audio = group[0].key
+            waveform = None
+            if has_audio:
+                waveform = svc._stack_wavs(
+                    [p.wav for p in group] + [group[-1].wav] * pads
+                )
+            text_ids = np.concatenate(
+                [p.text_ids for p in group] + [group[-1].text_ids] * pads
+            )
+            uncond_ids = np.concatenate(
+                [p.uncond_ids for p in group] + [group[-1].uncond_ids] * pads
+            )
+            with svc._lock:
+                imgs_dev = svc.pipe._dispatch_generate(
+                    waveform=waveform,
+                    text_ids=text_ids,
+                    uncond_ids=uncond_ids,
+                    batch=m,
+                    num_steps=steps,
+                    guidance_scale=cfg,
+                    norm_target=norm,
+                    model_type=model_type,
+                    seed=seed,
+                    sampler=sampler,
+                )
+            imgs = np.asarray(imgs_dev)
+            for i, p in enumerate(group):
+                p.result = imgs[i]
+                p.batch = n
+                p.event.set()
+            svc.record_coalesce(n)
+        except Exception as e:  # fail the whole group, keep serving
+            for p in group:
+                p.error = e
+                p.event.set()
+
+
 class InferenceService:
     """Pipeline wrapper with a lock (one generation at a time)."""
 
-    def __init__(self, cfg=None, params=None):
+    def __init__(self, cfg=None, params=None, coalesce_ms: float = 0.0,
+                 coalesce_max_batch: int = 8):
         from clap2diffusion_tpu.core.config import Config
         from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
         from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
@@ -71,6 +202,12 @@ class InferenceService:
         self._errors = 0
         self._images = 0
         self._latencies: list = []  # sliding window, seconds
+        self._coalesced_batches = 0
+        self._coalesced_images = 0
+        self.coalescer: Optional[RequestCoalescer] = (
+            RequestCoalescer(self, coalesce_ms, coalesce_max_batch)
+            if coalesce_ms > 0 else None
+        )
 
     def record(self, latency_s: float, images: int = 1, error: bool = False):
         with self._mlock:
@@ -83,6 +220,11 @@ class InferenceService:
                 if len(self._latencies) > 512:
                     self._latencies = self._latencies[-512:]
 
+    def record_coalesce(self, group_size: int):
+        with self._mlock:
+            self._coalesced_batches += 1
+            self._coalesced_images += group_size
+
     def metrics(self) -> dict:
         with self._mlock:
             lats = sorted(self._latencies)
@@ -90,6 +232,13 @@ class InferenceService:
                 "requests": self._requests,
                 "errors": self._errors,
                 "images": self._images,
+                "coalesce": {
+                    "batches": self._coalesced_batches,
+                    "images": self._coalesced_images,
+                    "mean_batch": round(
+                        self._coalesced_images / self._coalesced_batches, 2
+                    ) if self._coalesced_batches else 0.0,
+                },
                 "latency_s": {},
             }
             if lats:
@@ -147,6 +296,20 @@ class InferenceService:
             "sampler": params["sampler"],
         }
 
+    @staticmethod
+    def _stack_wavs(wavs: list) -> np.ndarray:
+        """Stack per-request waveforms into one batch array. PCM16
+        fast-path arrays stay int16 only if every source is int16;
+        otherwise each int16 source is dequantized host-side
+        (x/peak == peak_normalize(x/32768) exactly)."""
+        if all(w.dtype == np.int16 for w in wavs):
+            return np.stack(wavs)
+        return np.stack([
+            w.astype(np.float32) / max(float(np.abs(w).max()), 1.0)
+            if w.dtype == np.int16 else w
+            for w in wavs
+        ])
+
     def generate(self, req: dict) -> dict:
         # ALL host-side decoding (audio, init image, mask — base64 + PIL +
         # resize can be hundreds of ms) happens OUTSIDE the lock; the lock
@@ -155,6 +318,22 @@ class InferenceService:
         # already overlaps it — the generate_stream pipelining.
         wav = self._decode_audio(req)
         params = self._knobs(req)
+        if self.coalescer is not None and not any(
+            req.get(k) for k in ("init_image_b64", "mask_image_b64",
+                                 "audio2_b64")
+        ):
+            # simple audio+text request: park it in the micro-batcher so
+            # concurrent traffic folds into one device program
+            img, group = self.coalescer.submit(
+                wav,
+                self.tok(req.get("text", "")),
+                self.tok(str(req.get("negative", ""))),
+                params,
+            )
+            return {
+                "image_b64": self._png_b64(img),
+                "info": {**self._info(params), "coalesced_batch": group},
+            }
         kwargs = dict(
             waveform=wav,
             text_ids=self.tok(req.get("text", "")),
@@ -184,19 +363,7 @@ class InferenceService:
             raise ValueError(
                 "generate_batch requests must either all carry audio_b64 or none"
             )
-        waveform = None
-        if wavs[0] is not None:
-            # PCM16 fast-path arrays stay int16 only if every source did
-            if all(w.dtype == np.int16 for w in wavs):
-                waveform = np.stack(wavs)
-            else:
-                # host-side equivalent of the device dequantize:
-                # x/peak == peak_normalize(x/32768) exactly
-                waveform = np.stack([
-                    w.astype(np.float32) / max(float(np.abs(w).max()), 1.0)
-                    if w.dtype == np.int16 else w
-                    for w in wavs
-                ])
+        waveform = None if wavs[0] is None else self._stack_wavs(wavs)
         text_ids = np.concatenate([self.tok(r.get("text", "")) for r in reqs])
         uncond_ids = np.concatenate(
             [self.tok(str(r.get("negative", ""))) for r in reqs]
@@ -266,8 +433,13 @@ def make_handler(service: InferenceService):
 
 
 def serve(cfg=None, params=None, host: str = "0.0.0.0", port: int = 7860,
-          service: Optional[InferenceService] = None) -> ThreadingHTTPServer:
-    service = service or InferenceService(cfg, params)
+          service: Optional[InferenceService] = None,
+          coalesce_ms: float = 0.0,
+          coalesce_max_batch: int = 8) -> ThreadingHTTPServer:
+    service = service or InferenceService(
+        cfg, params, coalesce_ms=coalesce_ms,
+        coalesce_max_batch=coalesce_max_batch,
+    )
     server = ThreadingHTTPServer((host, port), make_handler(service))
     return server
 
@@ -279,6 +451,11 @@ def main() -> int:
     ap.add_argument("--config", default=None)
     ap.add_argument("--checkpoint", default=None,
                     help="orbax pipeline checkpoint (save_pipeline output)")
+    ap.add_argument("--coalesce-ms", type=float, default=0.0,
+                    help="fold concurrent /generate requests with matching "
+                         "knobs into one batched device program, waiting up "
+                         "to this many ms to form a group (0 = off)")
+    ap.add_argument("--coalesce-max-batch", type=int, default=8)
     args = ap.parse_args()
 
     from clap2diffusion_tpu.core.config import load_config
@@ -292,7 +469,9 @@ def main() -> int:
         from clap2diffusion_tpu.diffusion.pipeline import load_pipeline
 
         params = load_pipeline(cfg, args.checkpoint).params
-    server = serve(cfg, params, args.host, args.port)
+    server = serve(cfg, params, args.host, args.port,
+                   coalesce_ms=args.coalesce_ms,
+                   coalesce_max_batch=args.coalesce_max_batch)
     print(f"serving on {args.host}:{args.port}")
     server.serve_forever()
     return 0

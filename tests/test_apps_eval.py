@@ -362,6 +362,65 @@ def test_http_server_generate(tmp_path):
         server.shutdown()
 
 
+@pytest.mark.slow
+def test_http_server_coalesces_concurrent_requests():
+    """--coalesce-ms micro-batching: concurrent simple /generate requests
+    with matching knobs fold into ONE batched device program."""
+    import base64
+    import io
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from clap2diffusion_tpu.apps.server import InferenceService, serve
+    from tests.test_pipeline import tiny_config
+
+    service = InferenceService(cfg=tiny_config(), coalesce_ms=500,
+                               coalesce_max_batch=4)
+    server = serve(service=service, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        results = {}
+
+        def post(tag):
+            body = json.dumps({"text": tag, "steps": 2, "seed": 3}).encode()
+            rr = urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{port}/generate", data=body,
+                    headers={"Content-Type": "application/json"},
+                )
+            )
+            results[tag] = json.loads(rr.read())
+
+        tags = ["a dog barks", "rain falls", "a car engine"]
+        threads = [threading.Thread(target=post, args=(t,)) for t in tags]
+        [x.start() for x in threads]
+        [x.join() for x in threads]
+
+        imgs = {}
+        for t in tags:
+            assert "image_b64" in results[t], results[t]
+            imgs[t] = np.asarray(
+                Image.open(io.BytesIO(base64.b64decode(results[t]["image_b64"])))
+            )
+        # distinct prompts in one folded batch give distinct images
+        assert np.abs(imgs[tags[0]].astype(int)
+                      - imgs[tags[1]].astype(int)).max() > 0
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+            m = json.loads(r.read())
+        # every request went through the batcher; with the 500 ms window
+        # the three concurrent posts form at most two groups
+        assert m["coalesce"]["images"] == 3
+        assert 1 <= m["coalesce"]["batches"] <= 2
+        grouped = max(results[t]["info"]["coalesced_batch"] for t in tags)
+        assert grouped >= 2  # at least one real multi-request fold
+    finally:
+        server.shutdown()
+
+
 def test_fid_from_images_with_vision_features():
     """FID plumbing with a tiny CLIP-vision feature extractor."""
     import jax
