@@ -244,9 +244,85 @@ def cmd_serve(args) -> int:
         from clap2diffusion_tpu.diffusion.pipeline import load_pipeline
 
         params = load_pipeline(cfg, args.checkpoint).params
-    server = serve(cfg, params, args.host, args.port)
+    server = serve(cfg, params, args.host, args.port,
+                   coalesce_ms=args.coalesce_ms,
+                   coalesce_max_batch=args.coalesce_max_batch)
     print(f"serving on {args.host}:{server.server_address[1]}")
     server.serve_forever()
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Export trained conditioning weights to the reference's torch formats.
+
+    ``.safetensors`` output is torch-free (flat names prefixed
+    ``hierarchical.`` / ``adapter.`` / ``unet_adapter.``); any other
+    extension writes the reference's nested ``.pth`` layout
+    (reference scripts/train_stage2.py:182-189:
+    hierarchical_state_dict / adapter_state_dict keys)."""
+    import os
+
+    import numpy as np
+
+    from clap2diffusion_tpu.models.condition.export import (
+        export_audio_adapter,
+        export_hierarchical_encoder,
+        export_injection_processors,
+    )
+    from clap2diffusion_tpu.train.checkpoint import (
+        merge_stage_params,
+        restore_raw,
+        stage_from_name,
+    )
+
+    path = os.path.abspath(args.stage_checkpoint)
+    payload = restore_raw(os.path.dirname(path), os.path.basename(path))
+    stage = stage_from_name(os.path.basename(path))
+    # empty base tree: only the stage's trained towers survive the merge
+    # (LoRA folds into the UNet body, which the reference artifact format
+    # does not carry — only the per-level injection processors do)
+    merged = merge_stage_params({}, payload, stage, use_ema=args.ema)
+
+    sections = {}
+    if "adapter" in merged:
+        sections["adapter_state_dict"] = export_audio_adapter(merged["adapter"])
+    if "hierarchical" in merged:
+        sections["hierarchical_state_dict"] = export_hierarchical_encoder(
+            merged["hierarchical"]
+        )
+    if "unet" in merged:
+        proc = export_injection_processors(merged["unet"])
+        if proc:
+            sections["unet_adapter_state_dict"] = proc
+    if not sections:
+        raise SystemExit("checkpoint holds no exportable conditioning towers")
+
+    if args.out.endswith(".safetensors"):
+        from clap2diffusion_tpu.utils.safetensors_io import save_safetensors
+
+        flat = {
+            f"{sec.removesuffix('_state_dict')}.{k}": v
+            for sec, tensors in sections.items()
+            for k, v in tensors.items()
+        }
+        save_safetensors(args.out, flat,
+                         metadata={"format": "clap2diffusion_tpu",
+                                   "stage": str(stage)})
+    else:
+        import torch
+
+        obj = {"step": int(np.asarray(payload.get("step", 0)))}
+        for sec, tensors in sections.items():
+            obj[sec] = {
+                # np.array(copy=True): orbax-restored arrays can be
+                # read-only views, which torch.from_numpy rejects
+                k: torch.from_numpy(np.array(v, copy=True))
+                for k, v in tensors.items()
+            }
+        torch.save(obj, args.out)
+    n = sum(len(t) for t in sections.values())
+    print(f"exported stage {stage} -> {args.out} ({n} tensors, "
+          f"sections: {sorted(sections)})")
     return 0
 
 
@@ -360,7 +436,25 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--port", type=int, default=7860)
     ps.add_argument("--checkpoint", default=None,
                     help="orbax pipeline checkpoint (save_pipeline output)")
+    ps.add_argument("--coalesce-ms", type=float, default=0.0,
+                    help="micro-batch concurrent same-knob /generate "
+                         "requests into one device program (0 = off)")
+    ps.add_argument("--coalesce-max-batch", type=int, default=8)
     ps.set_defaults(fn=cmd_serve)
+
+    px = sub.add_parser(
+        "export", help="export trained conditioning weights to the "
+                       "reference's torch formats (.pth / .safetensors)"
+    )
+    px.add_argument("--stage-checkpoint", required=True,
+                    help="orbax stage checkpoint (stageN_final / stageN_stepK)")
+    px.add_argument("--out", required=True,
+                    help=".safetensors (torch-free flat names) or .pth "
+                         "(reference nested state-dict layout)")
+    px.add_argument("--ema", action="store_true",
+                    help="export the EMA shadow weights instead of the live ones")
+    _add_common(px)
+    px.set_defaults(fn=cmd_export)
 
     pa = sub.add_parser("app", help="launch the gradio UI")
     pa.add_argument("--host", default="0.0.0.0")
