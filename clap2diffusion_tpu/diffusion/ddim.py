@@ -212,7 +212,69 @@ def dpmpp_2m_sample(
     return final
 
 
-SAMPLERS = {"ddim": ddim_sample, "dpmpp_2m": dpmpp_2m_sample}
+def karras_timesteps(
+    num_inference_steps: int,
+    schedule: NoiseSchedule,
+    rho: float = 7.0,
+):
+    """Karras sigma spacing (rho=7, Karras et al. 2022 "Elucidating...")
+    mapped onto the discrete training grid.
+
+    Computed in numpy at TRACE time — the schedule's ``alphas_cumprod`` is
+    always a concrete array (built at pipeline/step-maker init, never
+    inside jit), so the grid folds into the compiled program as a
+    constant. Returns strictly-decreasing int32 timesteps: equal-log-sigma
+    collisions at low step counts are pushed down one timestep because a
+    repeated t would make the 2M update's h = 0 (division by zero in r).
+    """
+    import numpy as np
+
+    a = np.asarray(schedule.alphas_cumprod, np.float64)
+    sig = np.sqrt((1.0 - a) / a)  # EDM sigma per train timestep (ascending)
+    smin, smax = sig[0], sig[-1]
+    ramp = np.linspace(0.0, 1.0, num_inference_steps)
+    sigmas = (
+        smax ** (1.0 / rho) + ramp * (smin ** (1.0 / rho) - smax ** (1.0 / rho))
+    ) ** rho  # descending
+    t = np.abs(np.log(sig)[None, :] - np.log(sigmas)[:, None]).argmin(axis=1)
+    # resolve collisions upward from the bottom (the dense low-noise end
+    # can map several sigmas to t=0; bumping earlier entries up keeps the
+    # grid strictly decreasing without leaving the [0, T) range)
+    t = t.astype(np.int64)
+    for i in range(len(t) - 2, -1, -1):
+        if t[i] <= t[i + 1]:
+            t[i] = t[i + 1] + 1
+    if t[0] >= len(sig):
+        raise ValueError(
+            f"num_inference_steps={num_inference_steps} exceeds the "
+            f"{len(sig)}-step training grid"
+        )
+    return jnp.asarray(t, jnp.int32)
+
+
+def dpmpp_2m_karras_sample(
+    eps_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    schedule: NoiseSchedule,
+    latents: jax.Array,
+    num_inference_steps: int = 20,
+    timesteps: jax.Array | None = None,
+    blend_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+) -> jax.Array:
+    """DPM-Solver++(2M) on the Karras sigma grid — the standard low-step
+    pairing (concentrates steps at low noise where detail forms). When an
+    explicit ``timesteps`` grid is passed (img2img tail slices), it wins
+    and this reduces to plain ``dpmpp_2m``."""
+    if timesteps is None:
+        timesteps = karras_timesteps(num_inference_steps, schedule)
+    return dpmpp_2m_sample(eps_fn, schedule, latents, num_inference_steps,
+                           timesteps, blend_fn)
+
+
+SAMPLERS = {
+    "ddim": ddim_sample,
+    "dpmpp_2m": dpmpp_2m_sample,
+    "dpmpp_2m_karras": dpmpp_2m_karras_sample,
+}
 
 
 def cfg_eps_fn(

@@ -193,6 +193,13 @@ def test_generate_sampler_dpmpp_2m():
     np.testing.assert_array_equal(dpm, pipe.generate(sampler="dpmpp_2m", **kw))
     ddim = pipe.generate(sampler="ddim", **kw)
     assert np.abs(dpm.astype(np.int32) - ddim.astype(np.int32)).mean() > 0.5
+    # the Karras-grid variant is a distinct, deterministic third sampler
+    kar = pipe.generate(sampler="dpmpp_2m_karras", **kw)
+    assert kar.shape == (1, 64, 64, 3)
+    np.testing.assert_array_equal(
+        kar, pipe.generate(sampler="dpmpp_2m_karras", **kw)
+    )
+    assert np.abs(kar.astype(np.int32) - dpm.astype(np.int32)).mean() > 0.5
     with pytest.raises(ValueError, match="unknown sampler"):
         pipe.generate(sampler="euler_xyz", **kw)
 

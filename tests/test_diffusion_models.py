@@ -222,6 +222,46 @@ def test_dpmpp_2m_converges_to_ddim_with_step_count():
     assert gaps[0] > 0.05, gaps
 
 
+def test_karras_timesteps_grid():
+    """Karras rho-7 grid: strictly decreasing, in range, and denser at the
+    low-noise end than the leading-spaced DDIM grid."""
+    from clap2diffusion_tpu.diffusion.ddim import karras_timesteps
+
+    s = NoiseSchedule.create(SchedulerConfig())
+    for n in (5, 20, 50):
+        t = np.asarray(karras_timesteps(n, s))
+        assert t.shape == (n,)
+        assert (np.diff(t) < 0).all(), t  # strictly decreasing
+        assert t[0] <= 999 and t[-1] >= 0
+    t = np.asarray(karras_timesteps(20, s))
+    # rho-7 concentrates steps at low sigma: the last gap is much smaller
+    # than the first (the uniform DDIM grid has them equal)
+    assert abs(t[-1] - t[-2]) * 4 < abs(t[0] - t[1]), t
+    assert t[0] > 900 and t[-1] < 20, t  # spans the schedule
+
+
+def test_dpmpp_2m_karras_perfect_eps_recovers_x0():
+    """The solver invariant holds on the Karras grid too: exact eps keeps
+    every x0 prediction at x0 and the final state on the diffusion path."""
+    from clap2diffusion_tpu.diffusion.ddim import (
+        dpmpp_2m_karras_sample,
+        karras_timesteps,
+    )
+
+    s = NoiseSchedule.create(SchedulerConfig())
+    x0 = jax.random.normal(jax.random.key(0), (1, 8, 8, 4)) * 0.5
+    noise = jax.random.normal(jax.random.key(1), x0.shape)
+    t0 = karras_timesteps(20, s)[0]
+    xt = s.add_noise(x0, noise, jnp.array([t0]))
+    final = dpmpp_2m_karras_sample(
+        lambda lat, t: noise, s, xt, num_inference_steps=20
+    )
+    a0 = s.alphas_cumprod[0]
+    expected = jnp.sqrt(a0) * x0 + jnp.sqrt(1 - a0) * noise
+    np.testing.assert_allclose(np.asarray(final), np.asarray(expected),
+                               atol=1e-4)
+
+
 def test_cfg_folding():
     """guidance 1.0 == pure conditional; uncond==cond collapses guidance."""
     calls = {}
