@@ -352,9 +352,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="orbax pipeline checkpoint (save_pipeline / "
                          "tools/convert_checkpoints.py output)")
     pi.add_argument("--sampler", default=None,
-                    choices=["ddim", "dpmpp_2m"],
+                    choices=["ddim", "dpmpp_2m", "dpmpp_2m_karras"],
                     help="sampling algorithm (default: config; dpmpp_2m "
-                         "reaches DDIM-50 quality in ~20 steps)")
+                         "reaches DDIM-50 quality in ~20 steps; the "
+                         "_karras variant concentrates steps at low noise)")
     pi.add_argument("--model-type", default="hierarchical",
                     choices=["hierarchical", "sonic", "baseline", "audio_tokens"])
     pi.add_argument("--init-image", default=None,
@@ -402,7 +403,8 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--data-root", default=None)
     pe.add_argument("--max-samples", type=int, default=8)
     pe.add_argument("--steps", type=int, default=50)
-    pe.add_argument("--sampler", default=None, choices=["ddim", "dpmpp_2m"])
+    pe.add_argument("--sampler", default=None,
+                    choices=["ddim", "dpmpp_2m", "dpmpp_2m_karras"])
     pe.add_argument("--seed", type=int, default=42)
     pe.add_argument("--output", default=None)
     pe.add_argument("--checkpoint", default=None,
