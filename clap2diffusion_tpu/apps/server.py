@@ -17,12 +17,14 @@ this provides the same serving surface with zero dependencies:
                      inpainting; audio2_b64 blends two audio sources' CLAP
                      embeddings.
     POST /generate_batch
-                     JSON {requests: [{audio_b64?, text?, negative?}, ...],
+                     JSON {requests: [{audio_b64?, text?, negative?,
+                           seed?}, ...],
                            steps?, cfg?, norm?, seed?, model_type?, sampler?}
                      -> JSON {images_b64: [...], info: {...}}
-                     One folded device program for the whole group (the
-                     per-image knobs that are single scalars in the jitted
-                     program — steps/cfg/seed/... — are shared).
+                     One folded device program for the whole group. The
+                     scalar knobs (steps/cfg/norm/sampler) are shared; a
+                     per-request seed switches that lane to per-lane noise
+                     derivation (the image depends only on its own seed).
     GET  /healthz    -> 200 "ok"   (the Docker healthcheck target)
     GET  /metrics    -> JSON {requests, errors, images, latency_s:
                        {p50, p90, max, count}} over a sliding window —
@@ -58,14 +60,15 @@ import numpy as np
 class _Pending:
     """One request parked in the coalescer queue."""
 
-    __slots__ = ("key", "wav", "text_ids", "uncond_ids", "event",
+    __slots__ = ("key", "wav", "text_ids", "uncond_ids", "seed", "event",
                  "result", "error", "batch")
 
-    def __init__(self, key, wav, text_ids, uncond_ids):
+    def __init__(self, key, wav, text_ids, uncond_ids, seed):
         self.key = key
         self.wav = wav
         self.text_ids = text_ids
         self.uncond_ids = uncond_ids
+        self.seed = seed
         self.event = threading.Event()
         self.result = None
         self.error: Optional[Exception] = None
@@ -87,28 +90,44 @@ class RequestCoalescer:
     at a time, reference app/gradio_app.py:52-92); this is the TPU
     production-serving counterpart.
 
-    Determinism note: lanes of one batched program draw per-lane noise
-    from the shared seed, so a request's image depends on its arrival
-    order within the group (same semantics as /generate_batch). Leave
-    coalescing off (the default) when bit-exact per-request seeds matter.
+    Determinism: the batched program takes per-lane seeds, so each image's
+    noise depends only on its own request's seed — requests with different
+    seeds coalesce freely, and identical group compositions reproduce
+    bit-identically. Across DIFFERENT group sizes the same request can
+    differ by XLA compilation rounding (≤1 uint8 step on isolated pixels,
+    measured mean ~1e-4 — distinct batch shapes compile to distinct
+    programs). The per-lane noise derivation also differs from the
+    non-coalesced scalar-seed path's batch-shaped draw.
     """
 
     def __init__(self, service: "InferenceService", window_ms: float = 15.0,
                  max_batch: int = 8):
+        import queue
+
         self.service = service
         self.window = max(window_ms, 0.0) / 1000.0
         self.max_batch = max(int(max_batch), 1)
         self._cv = threading.Condition()
         self._queue: list = []
+        # dispatch/fetch split: the dispatch worker enqueues the NEXT
+        # group's device program while the fetch worker blocks on the
+        # previous group's host transfer — under sustained load the 6 MB
+        # image download + PNG encodes overlap device compute (the same
+        # overlap generate_stream exploits). Depth 2 bounds in-flight work.
+        self._fetch_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+        self._fetch_thread = threading.Thread(target=self._fetcher, daemon=True)
+        self._fetch_thread.start()
 
     def submit(self, wav, text_ids, uncond_ids, params: dict):
+        # seed is NOT part of the key: the batched program takes per-lane
+        # seeds, so requests with different seeds still fold together
         has_audio = wav is not None
         key = (params["num_steps"], params["guidance_scale"],
-               params["norm_target"], params["model_type"], params["seed"],
+               params["norm_target"], params["model_type"],
                params["sampler"], has_audio)
-        p = _Pending(key, wav, text_ids, uncond_ids)
+        p = _Pending(key, wav, text_ids, uncond_ids, params["seed"])
         with self._cv:
             self._queue.append(p)
             self._cv.notify_all()
@@ -145,7 +164,10 @@ class RequestCoalescer:
             # the padded lanes ride the same MXU pass nearly for free
             m = 1 << (n - 1).bit_length()
             pads = m - n
-            steps, cfg, norm, model_type, seed, sampler, has_audio = group[0].key
+            steps, cfg, norm, model_type, sampler, has_audio = group[0].key
+            seeds = np.asarray(
+                [p.seed for p in group] + [group[-1].seed] * pads, np.int32
+            )
             waveform = None
             if has_audio:
                 waveform = svc._stack_wavs(
@@ -167,19 +189,33 @@ class RequestCoalescer:
                     guidance_scale=cfg,
                     norm_target=norm,
                     model_type=model_type,
-                    seed=seed,
+                    seed=0,
+                    seeds=seeds,
                     sampler=sampler,
                 )
-            imgs = np.asarray(imgs_dev)
-            for i, p in enumerate(group):
-                p.result = imgs[i]
-                p.batch = n
-                p.event.set()
-            svc.record_coalesce(n)
+            # hand the async device result to the fetch worker; this
+            # thread immediately returns to forming the next group
+            self._fetch_q.put((group, imgs_dev))
         except Exception as e:  # fail the whole group, keep serving
             for p in group:
                 p.error = e
                 p.event.set()
+
+    def _fetcher(self):
+        svc = self.service
+        while True:
+            group, imgs_dev = self._fetch_q.get()
+            try:
+                imgs = np.asarray(imgs_dev)  # blocking host transfer
+                for i, p in enumerate(group):
+                    p.result = imgs[i]
+                    p.batch = len(group)
+                    p.event.set()
+                svc.record_coalesce(len(group))
+            except Exception as e:
+                for p in group:
+                    p.error = e
+                    p.event.set()
 
 
 class InferenceService:
@@ -353,11 +389,18 @@ class InferenceService:
     def generate_batch(self, req: dict) -> dict:
         """Fold a request group into ONE batched device program (throughput
         mode: per-sample cost drops ~30% at batch 8, BENCH_NOTES.md). The
-        scalar knobs (steps/cfg/seed/...) are shared across the group."""
+        scalar knobs (steps/cfg/...) are shared across the group; a
+        request may carry its own ``seed`` (per-lane noise derivation —
+        that image then depends only on its seed, not on the group)."""
         reqs = req.get("requests") or []
         if not reqs:
             raise ValueError("generate_batch needs a non-empty 'requests' list")
         params = self._knobs(req)
+        seeds = None
+        if any("seed" in r for r in reqs):
+            seeds = np.asarray(
+                [int(r.get("seed", params["seed"])) for r in reqs], np.int32
+            )
         wavs = [self._decode_audio(r) for r in reqs]
         if any(w is None for w in wavs) and not all(w is None for w in wavs):
             raise ValueError(
@@ -374,12 +417,16 @@ class InferenceService:
                 text_ids=text_ids,
                 uncond_ids=uncond_ids,
                 batch=len(reqs),
+                seeds=seeds,
                 **params,
             )
         imgs = np.asarray(imgs_dev)
+        info = {**self._info(params), "batch": len(reqs)}
+        if seeds is not None:
+            info["seeds"] = [int(s) for s in seeds]
         return {
             "images_b64": [self._png_b64(im) for im in imgs],
-            "info": {**self._info(params), "batch": len(reqs)},
+            "info": info,
         }
 
 

@@ -293,6 +293,7 @@ class AudioToImagePipeline:
         waveform2: Optional[jax.Array] = None,
         audio_mix: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
+        seeds: Optional[jax.Array] = None,
     ) -> jax.Array:
         # PRNG key derived on device: a host-side jax.random.key() is its own
         # dispatch, and on the tunneled backend every dispatch costs a ~30 ms
@@ -391,9 +392,22 @@ class AudioToImagePipeline:
                 blend_fn=blend_fn,
             )
         else:
-            latents = jax.random.normal(
-                rng, (batch, lat_size, lat_size, 4)
-            ).astype(self.compute_dtype)
+            if seeds is not None:
+                # Per-lane seeds: each image's noise is a function of ITS
+                # seed alone — independent of batch composition (identical
+                # group shapes reproduce bit-exactly; across different
+                # batch sizes XLA's per-shape compilations can differ by
+                # ~1 ulp). The scalar path below draws one batch-shaped
+                # tensor from one key — lane-order-dependent — and is kept
+                # unchanged for golden stability.
+                keys = jax.vmap(jax.random.key)(seeds)
+                latents = jax.vmap(
+                    lambda k: jax.random.normal(k, (lat_size, lat_size, 4))
+                )(keys).astype(self.compute_dtype)
+            else:
+                latents = jax.random.normal(
+                    rng, (batch, lat_size, lat_size, 4)
+                ).astype(self.compute_dtype)
             latents = SAMPLERS[sampler](eps_fn, self.schedule, latents, num_steps)
         img = self.m.vae.apply(
             {"params": params["vae"]}, latents,
@@ -431,10 +445,19 @@ class AudioToImagePipeline:
         waveform2: Optional[np.ndarray] = None,
         audio_mix: float = 0.5,
         mask_image: Optional[np.ndarray] = None,
+        seeds: Optional[np.ndarray] = None,
     ) -> jax.Array:
         """Asynchronous ``generate``: prepares args and dispatches the one
         jitted program, returning the on-device image without fetching it
         (dispatch itself is ~10 ms; see ``generate_stream``).
+
+        ``seeds`` (int32 [batch]) switches initial-latent noise to per-lane
+        key derivation: image i's noise depends only on ``seeds[i]``,
+        independent of batch composition — the contract the server's
+        request coalescer relies on (cross-batch-size reruns can still
+        differ by per-shape XLA compilation rounding, ≤1 uint8 step).
+        Mutually exclusive with ``init_image`` (img2img's VAE sampling and
+        noising use the scalar ``seed`` path).
 
         Beyond the reference surface: ``init_image`` (uint8 [H,W,3] or
         [B,H,W,3]) + ``strength`` runs SDEdit-style img2img (VAE-encode,
@@ -489,6 +512,15 @@ class AudioToImagePipeline:
 
         if mask_image is not None and init_image is None:
             raise ValueError("mask_image requires init_image")
+        if seeds is not None:
+            if init_image is not None:
+                raise ValueError("per-lane seeds are unsupported with "
+                                 "init_image (img2img uses the scalar seed)")
+            seeds = np.asarray(seeds, np.int32).reshape(-1)
+            if seeds.shape[0] != batch:
+                raise ValueError(
+                    f"seeds has {seeds.shape[0]} entries for batch {batch}"
+                )
         init_steps = 0
         init = None
         mask = None
@@ -556,6 +588,7 @@ class AudioToImagePipeline:
             wav2,
             np.float32(audio_mix) if wav2 is not None else None,
             mask,
+            seeds,
         )
 
     def generate_stream(self, requests, *, depth: int = 2, **shared):

@@ -101,6 +101,33 @@ def test_seed_determinism(pipe):
     assert np.abs(a.astype(int) - c.astype(int)).max() > 0
 
 
+def test_per_lane_seeds_batch_invariant(pipe):
+    """seeds=[...] derives each lane's noise from its own seed: an image is
+    bit-identical whether its request runs solo or inside any batch — the
+    contract the server's request coalescer relies on."""
+    tok_ids = np.zeros((1, pipe.cfg.diffusion.clip_text.max_length), np.int32)
+    solo = pipe.generate(text_ids=tok_ids, num_steps=2, seeds=[5])
+    duo = pipe.generate(
+        text_ids=np.repeat(tok_ids, 2, axis=0), batch=2, num_steps=2,
+        seeds=[7, 5],
+    )
+    np.testing.assert_array_equal(solo[0], duo[1])  # position-independent
+    assert np.abs(duo[0].astype(int) - duo[1].astype(int)).max() > 0
+    # same seed twice -> identical lanes
+    twin = pipe.generate(
+        text_ids=np.repeat(tok_ids, 2, axis=0), batch=2, num_steps=2,
+        seeds=[5, 5],
+    )
+    np.testing.assert_array_equal(twin[0], twin[1])
+    # validation: wrong length and img2img combination fail loudly
+    with pytest.raises(ValueError, match="seeds has"):
+        pipe.generate(text_ids=tok_ids, num_steps=2, seeds=[1, 2])
+    init = np.zeros((64, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match="per-lane seeds"):
+        pipe.generate(text_ids=tok_ids, num_steps=2, seeds=[1],
+                      init_image=init)
+
+
 def test_norm_target_knob(pipe):
     """Norm slider 10..200 (reference app/gradio_app.py:129-132) changes output."""
     wav = np.random.default_rng(0).normal(size=24_000).astype(np.float32) * 0.1

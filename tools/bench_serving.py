@@ -43,16 +43,20 @@ def build_request(cfg) -> dict:
     }
 
 
-def run_mode(service, req: dict, n: int, steps: int) -> float:
-    """Fire n concurrent requests; return wall seconds for all to finish."""
+def run_mode(service, req: dict, n: int, steps: int, waves: int = 1) -> float:
+    """n concurrent clients each issue ``waves`` back-to-back requests;
+    return wall seconds until all n*waves responses arrive. waves > 1
+    exercises the sustained-load overlap (group k+1's compute vs group
+    k's host fetch/encode)."""
     body = dict(req, steps=steps)
     errors = []
     done = threading.Barrier(n + 1)
 
     def client():
         try:
-            out = service.generate(dict(body))
-            assert "image_b64" in out
+            for _ in range(waves):
+                out = service.generate(dict(body))
+                assert "image_b64" in out
         except Exception as e:  # pragma: no cover - diagnostics tool
             errors.append(e)
         done.wait()
@@ -72,7 +76,9 @@ def run_mode(service, req: dict, n: int, steps: int) -> float:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=8, help="concurrent requests")
+    ap.add_argument("--n", type=int, default=8, help="concurrent clients")
+    ap.add_argument("--waves", type=int, default=1,
+                    help="back-to-back requests per client (sustained load)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--window-ms", type=float, default=300.0)
     ap.add_argument("--max-batch", type=int, default=8)
@@ -105,14 +111,16 @@ def main() -> int:
         # warmup: compile the programs this mode will use (batch 1, and for
         # the coalescer the padded power-of-two group size)
         run_mode(service, req, args.n if ms else 1, args.steps)
-        wall = run_mode(service, req, args.n, args.steps)
+        wall = run_mode(service, req, args.n, args.steps, args.waves)
         results[mode] = wall
+        total = args.n * args.waves
         print(json.dumps({
             "mode": mode,
             "n": args.n,
+            "waves": args.waves,
             "steps": args.steps,
             "wall_s": round(wall, 3),
-            "img_s": round(args.n / wall, 3),
+            "img_s": round(total / wall, 3),
             "coalesce": service.metrics()["coalesce"],
         }))
 
