@@ -701,11 +701,17 @@ def generate_sharded(
     model_type: str = "hierarchical",
     seed: int = 0,
     sampler: str = "ddim",
+    seeds: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Multi-chip serving: shard a batch of requests over the mesh's data
     axis. The single jit program is sharding-agnostic (GSPMD propagates from
     the input shardings); with B % data_axis == 0 each chip denoises its
     slice and collectives never enter the hot loop.
+
+    ``seeds`` (int32 [B]) opts into per-lane noise derivation — the same
+    contract as the single-chip path: each image depends only on its own
+    seed, so request->chip placement doesn't change results. The seed
+    vector shards over the data axis with everything else.
 
     Validated on the virtual 8-device CPU mesh
     (tests/test_pipeline.py::test_generate_sharded_mesh).
@@ -726,6 +732,11 @@ def generate_sharded(
     wav = put(waveforms, P("data", None))
     tids = put(text_ids.astype(np.int32), P("data", None))
     uids = put(uncond_ids.astype(np.int32), P("data", None))
+    if seeds is not None:
+        seeds = np.asarray(seeds, np.int32).reshape(-1)
+        if seeds.shape[0] != b:
+            raise ValueError(f"seeds has {seeds.shape[0]} entries for batch {b}")
+        seeds = put(seeds, P("data"))
     with mesh:
         img = pipe._generate_jit(
             pipe.params,
@@ -740,5 +751,6 @@ def generate_sharded(
             np.float32(norm_target),
             np.float32(0.5),
             sampler,
+            seeds=seeds,
         )
     return np.asarray(img)

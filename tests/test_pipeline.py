@@ -194,6 +194,17 @@ def test_generate_sharded_mesh(pipe, eight_devices):
     )
     assert dpm.shape == (8, 64, 64, 3)
     assert np.abs(dpm[0].astype(int) - imgs[0].astype(int)).max() > 0
+    # per-lane seeds shard over the data axis; placement-independent noise:
+    # swapping two requests' lanes swaps their images exactly (same wav on
+    # both lanes isolates the seed's effect)
+    wavs2 = np.repeat(wavs[:1], 8, axis=0)
+    sa = generate_sharded(pipe, mesh, wavs2, ids, num_steps=2,
+                          seeds=np.arange(8))
+    perm = np.array([1, 0, 2, 3, 4, 5, 6, 7])
+    sb = generate_sharded(pipe, mesh, wavs2, ids, num_steps=2,
+                          seeds=np.arange(8)[perm])
+    np.testing.assert_array_equal(sa[perm], sb)
+    assert np.abs(sa[0].astype(int) - sa[1].astype(int)).max() > 0
 
 
 def test_img2img_preserves_low_strength(pipe):
