@@ -34,7 +34,7 @@ def build_generator(cfg: Config):
     def generate(audio_path, prompt, model_name, norm_value, steps, cfg_scale,
                  seed, sampler="ddim", negative="", init_image=None,
                  strength=0.8, audio2_path=None, audio_mix=0.5,
-                 mask_image=None):
+                 mask_image=None, cfg_rescale=0.0):
         wav = pipe.load_audio(audio_path) if audio_path else None
         text_ids = tok(prompt or "")
         # mask decoded regardless of the init image so the pipeline's
@@ -62,6 +62,7 @@ def build_generator(cfg: Config):
             waveform2=pipe.load_audio(audio2_path) if audio2_path else None,
             audio_mix=float(audio_mix),
             mask_image=mask,
+            guidance_rescale=float(cfg_rescale),
         )[0]
         info = (
             f"model={model_name} steps={int(steps)} cfg={cfg_scale} "
@@ -105,6 +106,8 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
                                       value="ddim",
                                       label="Sampler (dpmpp_2m: ~20 steps)")
                 cfg_s = gr.Slider(1.0, 20.0, value=7.5, label="CFG scale")
+                cfg_r = gr.Slider(0.0, 1.0, value=0.0,
+                                  label="CFG rescale (0 = plain CFG)")
                 seed = gr.Number(value=42, precision=0, label="Seed")
                 with gr.Accordion("img2img / composition", open=False):
                     init_img = gr.Image(label="Init image (SDEdit)")
@@ -123,7 +126,7 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
         btn.click(
             generate,
             [audio, prompt, model, norm, steps, cfg_s, seed, sampler, negative,
-             init_img, strength, audio2, mix, mask_img],
+             init_img, strength, audio2, mix, mask_img, cfg_r],
             [image, info],
         )
 

@@ -103,6 +103,7 @@ def cmd_infer(args) -> int:
             reqs, text_ids=tok(args.text or ""),
             uncond_ids=tok(args.negative_text or ""),
             num_steps=args.steps, guidance_scale=args.cfg,
+            guidance_rescale=args.cfg_rescale,
             norm_target=args.norm, model_type=args.model_type, seed=args.seed,
             sampler=args.sampler,
         )
@@ -130,6 +131,7 @@ def cmd_infer(args) -> int:
         uncond_ids=uncond_ids,
         num_steps=args.steps,
         guidance_scale=args.cfg,
+        guidance_rescale=args.cfg_rescale,
         norm_target=args.norm,
         model_type=args.model_type,
         seed=args.seed,
@@ -342,6 +344,10 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--output", default="output.png")
     pi.add_argument("--steps", type=int, default=50)
     pi.add_argument("--cfg", type=float, default=7.5)
+    pi.add_argument("--cfg-rescale", type=float, default=0.0,
+                    help="CFG-rescale weight 0..1 (Lin et al. 2023): "
+                         "counters over-exposure at high --cfg; 0 = plain "
+                         "CFG (reference behavior)")
     pi.add_argument("--seed", type=int, default=0)
     pi.add_argument("--norm", type=float, default=60.0)
     pi.add_argument("--batch", type=int, default=1)

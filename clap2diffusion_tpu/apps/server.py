@@ -5,7 +5,8 @@ Dockerfile:55); gradio isn't installable everywhere (not in this image), so
 this provides the same serving surface with zero dependencies:
 
     POST /generate   JSON {audio_b64?: wav bytes, text?: str, steps?: int,
-                           cfg?: float, norm?: float, seed?: int,
+                           cfg?: float, cfg_rescale?: float (0..1, Lin et
+                           al. 2023 CFG-rescale), norm?: float, seed?: int,
                            model_type?: str, sampler?: str,
                            negative?: str,
                            init_image_b64?: png/jpg bytes, strength?: float,
@@ -126,7 +127,7 @@ class RequestCoalescer:
         has_audio = wav is not None
         key = (params["num_steps"], params["guidance_scale"],
                params["norm_target"], params["model_type"],
-               params["sampler"], has_audio)
+               params["sampler"], params["guidance_rescale"], has_audio)
         p = _Pending(key, wav, text_ids, uncond_ids, params["seed"])
         with self._cv:
             self._queue.append(p)
@@ -164,7 +165,8 @@ class RequestCoalescer:
             # the padded lanes ride the same MXU pass nearly for free
             m = 1 << (n - 1).bit_length()
             pads = m - n
-            steps, cfg, norm, model_type, sampler, has_audio = group[0].key
+            (steps, cfg, norm, model_type, sampler, rescale,
+             has_audio) = group[0].key
             seeds = np.asarray(
                 [p.seed for p in group] + [group[-1].seed] * pads, np.int32
             )
@@ -192,6 +194,7 @@ class RequestCoalescer:
                     seed=0,
                     seeds=seeds,
                     sampler=sampler,
+                    guidance_rescale=rescale,
                 )
             # hand the async device result to the fetch worker; this
             # thread immediately returns to forming the next group
@@ -312,6 +315,7 @@ class InferenceService:
             "model_type": str(req.get("model_type", "hierarchical")),
             "seed": int(req.get("seed", 0)),
             "sampler": str(req.get("sampler", self.cfg.diffusion.scheduler.sampler)),
+            "guidance_rescale": float(req.get("cfg_rescale", 0.0)),
         }
 
     @staticmethod
@@ -330,6 +334,7 @@ class InferenceService:
             "model_type": params["model_type"],
             "seed": params["seed"],
             "sampler": params["sampler"],
+            "cfg_rescale": params["guidance_rescale"],
         }
 
     @staticmethod

@@ -284,9 +284,20 @@ def cfg_eps_fn(
     guidance_scale: float,
     audio_cond=None,
     audio_uncond=None,
+    guidance_rescale: float = 0.0,
 ):
     """Build an eps_fn folding classifier-free guidance into ONE batched
-    UNet forward: [uncond; cond] along the batch axis."""
+    UNet forward: [uncond; cond] along the batch axis.
+
+    ``guidance_rescale`` in [0, 1] applies the CFG-rescale fix from Lin et
+    al. 2023 ("Common Diffusion Noise Schedules and Sample Steps are
+    Flawed" eq. 15-16): rescale the guided prediction's per-sample std
+    toward the conditional prediction's to counter CFG over-exposure at
+    high guidance scales. It may be a traced scalar — one compiled program
+    serves every value, and 0.0 (default) is bit-exact to plain CFG
+    (w*rescaled + (1-w)*guided with w=0 reduces to guided exactly in
+    IEEE arithmetic), so the frozen image golden is unaffected.
+    """
 
     def tree_cat(a, b):
         if a is None and b is None:
@@ -302,6 +313,15 @@ def cfg_eps_fn(
         t2 = jnp.full((2 * b,), t, jnp.int32)
         eps2 = unet_apply(lat2, t2, ctx, audio)
         eps_u, eps_c = eps2[:b], eps2[b:]
-        return eps_u + guidance_scale * (eps_c - eps_u)
+        guided = eps_u + guidance_scale * (eps_c - eps_u)
+        g32 = guided.astype(jnp.float32)
+        c32 = eps_c.astype(jnp.float32)
+        axes = tuple(range(1, guided.ndim))
+        std_c = jnp.std(c32, axis=axes, keepdims=True)
+        std_g = jnp.maximum(jnp.std(g32, axis=axes, keepdims=True), 1e-8)
+        rescaled = g32 * (std_c / std_g)
+        w = jnp.float32(guidance_rescale)
+        out = w * rescaled + (1.0 - w) * g32
+        return out.astype(guided.dtype)
 
     return eps_fn

@@ -294,6 +294,7 @@ class AudioToImagePipeline:
         audio_mix: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
         seeds: Optional[jax.Array] = None,
+        guidance_rescale: jax.Array | float = 0.0,
     ) -> jax.Array:
         # PRNG key derived on device: a host-side jax.random.key() is its own
         # dispatch, and on the tunneled backend every dispatch costs a ~30 ms
@@ -348,6 +349,7 @@ class AudioToImagePipeline:
         eps_fn = cfg_eps_fn(
             unet_apply, ehs_cond, ehs_uncond, guidance_scale,
             audio_cond=routed, audio_uncond=routed,
+            guidance_rescale=guidance_rescale,
         )
         lat_size = self.cfg.diffusion.image_size // 8
         if init_steps > 0 and init_image is not None:
@@ -446,6 +448,7 @@ class AudioToImagePipeline:
         audio_mix: float = 0.5,
         mask_image: Optional[np.ndarray] = None,
         seeds: Optional[np.ndarray] = None,
+        guidance_rescale: float = 0.0,
     ) -> jax.Array:
         """Asynchronous ``generate``: prepares args and dispatches the one
         jitted program, returning the on-device image without fetching it
@@ -512,6 +515,10 @@ class AudioToImagePipeline:
 
         if mask_image is not None and init_image is None:
             raise ValueError("mask_image requires init_image")
+        if not 0.0 <= float(guidance_rescale) <= 1.0:
+            raise ValueError(
+                f"guidance_rescale must be in [0, 1], got {guidance_rescale}"
+            )
         if seeds is not None:
             if init_image is not None:
                 raise ValueError("per-lane seeds are unsupported with "
@@ -589,6 +596,7 @@ class AudioToImagePipeline:
             np.float32(audio_mix) if wav2 is not None else None,
             mask,
             seeds,
+            np.float32(guidance_rescale),
         )
 
     def generate_stream(self, requests, *, depth: int = 2, **shared):

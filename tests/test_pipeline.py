@@ -128,6 +128,24 @@ def test_per_lane_seeds_batch_invariant(pipe):
                       init_image=init)
 
 
+def test_guidance_rescale_knob(pipe):
+    """CFG-rescale (Lin et al. 2023): a traced scalar — 0.0 is bit-exact
+    plain CFG (the frozen image golden pins this against the pre-knob
+    program), nonzero changes the image, out-of-range fails loudly."""
+    wav = np.random.default_rng(0).normal(size=24_000).astype(np.float32) * 0.1
+    # cond must differ from uncond (rescale acts on their gap): real prompt
+    ids = (np.arange(pipe.cfg.diffusion.clip_text.max_length)[None] % 97
+           ).astype(np.int32)
+    kw = dict(waveform=wav, text_ids=ids, num_steps=2, seed=4)
+    a = pipe.generate(**kw)
+    b = pipe.generate(guidance_rescale=0.7, **kw)
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+    c = pipe.generate(guidance_rescale=0.0, **kw)
+    np.testing.assert_array_equal(a, c)
+    with pytest.raises(ValueError, match="guidance_rescale"):
+        pipe.generate(guidance_rescale=1.5, **kw)
+
+
 def test_norm_target_knob(pipe):
     """Norm slider 10..200 (reference app/gradio_app.py:129-132) changes output."""
     wav = np.random.default_rng(0).normal(size=24_000).astype(np.float32) * 0.1
