@@ -11,8 +11,9 @@ this provides the same serving surface with zero dependencies:
                            negative?: str,
                            init_image_b64?: png/jpg bytes, strength?: float,
                            mask_image_b64?: grayscale png bytes,
-                           audio2_b64?: wav bytes, audio_mix?: float}
-                     -> JSON {image_b64: png bytes, info: {...}}
+                           audio2_b64?: wav bytes, audio_mix?: float,
+                           format?: "png"|"jpeg", quality?: int}
+                     -> JSON {image_b64: png/jpeg bytes, info: {...}}
                      init_image_b64 runs SDEdit-style img2img;
                      mask_image_b64 (nonzero = regenerate) turns it into
                      inpainting; audio2_b64 blends two audio sources' CLAP
@@ -319,12 +320,24 @@ class InferenceService:
         }
 
     @staticmethod
-    def _png_b64(img: np.ndarray) -> str:
+    def _img_b64(img: np.ndarray, fmt: str = "png", quality: int = 92) -> str:
+        """Encode one image. ``fmt``: 'png' (lossless, default) or 'jpeg'
+        (~10x smaller payloads for photographic outputs — a bandwidth knob
+        for remote clients)."""
         from PIL import Image
 
+        fmt = fmt.lower()
+        if fmt not in ("png", "jpeg", "jpg"):
+            raise ValueError(f"unknown image format {fmt!r} (png|jpeg)")
         buf = io.BytesIO()
-        Image.fromarray(np.asarray(img)).save(buf, format="PNG")
+        if fmt == "png":
+            Image.fromarray(np.asarray(img)).save(buf, format="PNG")
+        else:
+            Image.fromarray(np.asarray(img)).save(
+                buf, format="JPEG", quality=int(quality)
+            )
         return base64.b64encode(buf.getvalue()).decode()
+
 
     def _info(self, params: dict) -> dict:
         return {
@@ -372,7 +385,8 @@ class InferenceService:
                 params,
             )
             return {
-                "image_b64": self._png_b64(img),
+                "image_b64": self._img_b64(img, req.get("format", "png"),
+                                           int(req.get("quality", 92))),
                 "info": {**self._info(params), "coalesced_batch": group},
             }
         kwargs = dict(
@@ -389,7 +403,11 @@ class InferenceService:
         with self._lock:
             img_dev = self.pipe._dispatch_generate(**kwargs)
         img = np.asarray(img_dev)[0]  # blocking fetch OUTSIDE the lock
-        return {"image_b64": self._png_b64(img), "info": self._info(params)}
+        return {
+            "image_b64": self._img_b64(img, req.get("format", "png"),
+                                       int(req.get("quality", 92))),
+            "info": self._info(params),
+        }
 
     def generate_batch(self, req: dict) -> dict:
         """Fold a request group into ONE batched device program (throughput
@@ -430,7 +448,11 @@ class InferenceService:
         if seeds is not None:
             info["seeds"] = [int(s) for s in seeds]
         return {
-            "images_b64": [self._png_b64(im) for im in imgs],
+            "images_b64": [
+                self._img_b64(im, req.get("format", "png"),
+                              int(req.get("quality", 92)))
+                for im in imgs
+            ],
             "info": info,
         }
 

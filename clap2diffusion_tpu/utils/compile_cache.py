@@ -13,7 +13,29 @@ Env contract:
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def host_cpu_tag() -> str:
+    """Short fingerprint of this host's CPU feature set.
+
+    XLA:CPU AOT executables are compiled FOR the build host's exact
+    feature flags (avx512*, amx-*, ...); the persistent cache does not key
+    on them, so an entry written on one machine can SIGILL/segfault when
+    deserialized on another (observed in CI: 'Machine type used for
+    XLA:CPU compilation doesn't match the machine type for execution',
+    then a segfault inside put_executable_and_time). Scoping the cache
+    directory by this tag makes every host hit only its own entries.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            line = next(l for l in f if l.startswith("flags"))
+    except Exception:
+        import platform
+
+        line = platform.processor() or platform.machine() or "unknown"
+    return hashlib.sha1(line.encode()).hexdigest()[:10]
 
 
 def enable_compilation_cache() -> str | None:
@@ -26,6 +48,7 @@ def enable_compilation_cache() -> str | None:
     path = value or os.path.join(
         os.path.expanduser("~"), ".cache", "clap2diffusion_tpu", "xla"
     )
+    path = os.path.join(path, host_cpu_tag())
     try:
         os.makedirs(path, exist_ok=True)
         import jax

@@ -269,6 +269,23 @@ def test_http_server_generate(tmp_path):
         img = Image.open(io.BytesIO(base64.b64decode(out["image_b64"])))
         assert img.size == (64, 64)
 
+        # format knob: jpeg decodes, reports JPEG, and is a smaller payload
+        jreq = json.loads(req)
+        jreq["format"] = "jpeg"
+        jreq["quality"] = 80
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(jreq).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+        )
+        jout = json.loads(r.read())
+        jraw = base64.b64decode(jout["image_b64"])
+        jimg = Image.open(io.BytesIO(jraw))
+        assert jimg.format == "JPEG" and jimg.size == (64, 64)
+        assert len(jraw) < len(base64.b64decode(out["image_b64"]))
+
         # concurrent requests: the lock covers only the dispatch, so two
         # in-flight generations pipeline and both return valid images
         results = {}
@@ -564,12 +581,18 @@ def test_enable_compilation_cache_env_contract(tmp_path, monkeypatch):
 
     from clap2diffusion_tpu.utils.compile_cache import enable_compilation_cache
 
+    from clap2diffusion_tpu.utils.compile_cache import host_cpu_tag
+
     target = str(tmp_path / "xla_cache")
     monkeypatch.setenv("C2D_COMPILE_CACHE", target)
     try:
-        assert enable_compilation_cache() == target
-        assert os.path.isdir(target)
-        assert jax.config.jax_compilation_cache_dir == target
+        # the cache dir is scoped per host CPU fingerprint: XLA:CPU AOT
+        # entries from another machine segfault on load
+        scoped = os.path.join(target, host_cpu_tag())
+        assert enable_compilation_cache() == scoped
+        assert os.path.isdir(scoped)
+        assert jax.config.jax_compilation_cache_dir == scoped
+        assert len(host_cpu_tag()) == 10  # stable short fingerprint
 
         monkeypatch.setenv("C2D_COMPILE_CACHE", "0")
         assert enable_compilation_cache() is None
