@@ -125,6 +125,36 @@ def cmd_infer(args) -> int:
         pipe.load_init_image(args.mask_image, mask=True)
         if args.mask_image else None
     )
+    if args.best_of > 1:
+        if not args.text:
+            raise SystemExit("--best-of ranks candidates by CLIPScore "
+                             "against the prompt; --text is required")
+        if args.batch != 1:
+            raise SystemExit("--best-of already batches candidates; "
+                             "--batch must stay 1")
+        if args.init_image or args.mask_image:
+            raise SystemExit("--best-of is unsupported with --init-image/"
+                             "--mask-image (candidates need per-lane seeds)")
+        img, scores = pipe.generate_best_of(
+            args.best_of,
+            waveform=wav,
+            text_ids=text_ids,
+            uncond_ids=uncond_ids,
+            num_steps=args.steps,
+            guidance_scale=args.cfg,
+            guidance_rescale=args.cfg_rescale,
+            norm_target=args.norm,
+            model_type=args.model_type,
+            seed=args.seed,
+            sampler=args.sampler,
+            init_image=init,
+            waveform2=pipe.load_audio(args.audio2) if args.audio2 else None,
+            audio_mix=args.audio_mix,
+        )
+        Image.fromarray(np.asarray(img)).save(args.output)
+        print(f"wrote {args.output} (best of {args.best_of}; clip_scores="
+              f"{[round(float(s), 3) for s in scores]})")
+        return 0
     images = pipe.generate(
         waveform=wav,
         text_ids=text_ids,
@@ -351,6 +381,11 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--seed", type=int, default=0)
     pi.add_argument("--norm", type=float, default=60.0)
     pi.add_argument("--batch", type=int, default=1)
+    pi.add_argument("--best-of", dest="best_of", type=int, default=1,
+                    help="generate N candidates (one batched device program, "
+                         "per-lane seeds seed..seed+N-1), rank by CLIPScore "
+                         "against --text on device, save only the winner; "
+                         "requires converted CLIP vision weights")
     pi.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
                     help="compute/param dtype (bf16 = MXU fast path)")

@@ -12,12 +12,17 @@ this provides the same serving surface with zero dependencies:
                            init_image_b64?: png/jpg bytes, strength?: float,
                            mask_image_b64?: grayscale png bytes,
                            audio2_b64?: wav bytes, audio_mix?: float,
+                           best_of?: int,
                            format?: "png"|"jpeg", quality?: int}
                      -> JSON {image_b64: png/jpeg bytes, info: {...}}
                      init_image_b64 runs SDEdit-style img2img;
                      mask_image_b64 (nonzero = regenerate) turns it into
                      inpainting; audio2_b64 blends two audio sources' CLAP
-                     embeddings.
+                     embeddings; best_of > 1 generates N candidates in one
+                     batched program, ranks them by CLIPScore against
+                     ``text`` on device and returns only the winner
+                     (requires converted CLIP vision weights; info carries
+                     the per-candidate clip_scores).
     POST /generate_batch
                      JSON {requests: [{audio_b64?, text?, negative?,
                            seed?}, ...],
@@ -372,6 +377,35 @@ class InferenceService:
         # already overlaps it — the generate_stream pipelining.
         wav = self._decode_audio(req)
         params = self._knobs(req)
+        best_of = int(req.get("best_of", 1))
+        if best_of > 1:
+            # best-of-n rerank: one batched candidate program + an on-device
+            # CLIPScore argmax select; only the winner crosses the tunnel.
+            # Bypasses the coalescer (its per-lane seed slots are taken by
+            # the candidates) and the simple-request fold.
+            if any(req.get(k) for k in ("init_image_b64", "mask_image_b64")):
+                raise ValueError(
+                    "best_of is unsupported with init/mask images "
+                    "(candidates need per-lane seeds)"
+                )
+            with self._lock:
+                best_dev, scores_dev = self.pipe._dispatch_best_of(
+                    best_of,
+                    waveform=wav,
+                    text_ids=self.tok(req.get("text", "")),
+                    uncond_ids=self.tok(str(req.get("negative", ""))),
+                    waveform2=self._decode_audio(req, "audio2_b64"),
+                    audio_mix=float(req.get("audio_mix", 0.5)),
+                    **params,
+                )
+            img = np.asarray(best_dev)  # blocking fetch OUTSIDE the lock
+            scores = [round(float(s), 4) for s in np.asarray(scores_dev)]
+            return {
+                "image_b64": self._img_b64(img, req.get("format", "png"),
+                                           int(req.get("quality", 92))),
+                "info": {**self._info(params), "best_of": best_of,
+                         "clip_scores": scores},
+            }
         if self.coalescer is not None and not any(
             req.get(k) for k in ("init_image_b64", "mask_image_b64",
                                  "audio2_b64")

@@ -621,6 +621,115 @@ class AudioToImagePipeline:
         while in_flight:
             yield np.asarray(in_flight.popleft())
 
+    # -- best-of-n reranked serving (beyond the reference surface) -----------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _select_best_impl(self, vision_params, text_params, text_projection,
+                          imgs: jax.Array, text_ids: jax.Array):
+        """Score candidate images [n,H,W,3] uint8 against ONE prompt by
+        CLIPScore and return (best image, per-lane scores). Runs entirely
+        on device: the n-image batch never crosses the tunnel — only the
+        winner and n floats do (a batch-8 512px fetch is ~6 MB at
+        ~10-20 MB/s, BENCH_NOTES.md)."""
+        from clap2diffusion_tpu.models.clip_vision import (
+            CLIPVisionEncoder,
+            clip_text_features,
+            preprocess_images_device,
+        )
+
+        vision = CLIPVisionEncoder(cfg=self.cfg.diffusion.clip_vision)
+        px = preprocess_images_device(
+            imgs, self.cfg.diffusion.clip_vision.image_size
+        )
+        feats = vision.apply({"params": vision_params}, px)  # [n,proj], L2'd
+        hidden = self.m.clip_text.apply({"params": text_params}, text_ids)
+        tf = clip_text_features(hidden, text_ids, text_projection)  # [1,proj]
+        cos = (feats.astype(jnp.float32) * tf).sum(-1)  # [n]
+        scores = jnp.maximum(cos * 100.0, 0.0)  # CLIPScore (eval/metrics.py)
+        return jnp.take(imgs, jnp.argmax(scores), axis=0), scores
+
+    def _dispatch_best_of(self, n: int, *, waveform=None, text_ids=None,
+                          uncond_ids=None, seed: int = 0, seeds=None,
+                          waveform2=None, **knobs):
+        """Async best-of-n: two device dispatches (generate batch-n with
+        per-lane seeds, then score+argmax-select), no host fetch in
+        between. Returns (best_image, scores) on device."""
+        if n < 1:
+            raise ValueError(f"best-of n must be >= 1, got {n}")
+        missing = {"clip_vision", "clip_text_projection"} - set(self.params)
+        if missing:
+            raise ValueError(
+                "best-of-n ranks candidates by CLIPScore and needs the CLIP "
+                f"vision weights (params missing {sorted(missing)}); convert "
+                "with tools/convert_checkpoints.py --clip-vision"
+            )
+        if text_ids is None:
+            raise ValueError(
+                "best-of-n ranks candidates against the text prompt; a text "
+                "prompt is required"
+            )
+        if knobs.get("init_image") is not None:
+            raise ValueError(
+                "best-of-n is unsupported with init_image (candidates need "
+                "per-lane seeds; img2img uses the scalar seed path)"
+            )
+        if "batch" in knobs:
+            raise ValueError("best-of-n sets batch=n itself")
+        text_ids = np.asarray(text_ids, np.int32)
+        if text_ids.ndim == 1:
+            text_ids = text_ids[None]
+        if text_ids.shape[0] != 1:
+            raise ValueError(
+                f"best-of-n takes ONE prompt, got {text_ids.shape[0]}"
+            )
+        if uncond_ids is not None:
+            uncond_ids = np.asarray(uncond_ids, np.int32)
+            if uncond_ids.ndim == 1:
+                uncond_ids = uncond_ids[None]
+        if seeds is None:
+            # distinct per-lane seeds derived from the base seed; lane i's
+            # noise depends only on seeds[i] (the per-lane-seed contract)
+            seeds = np.arange(seed, seed + n, dtype=np.int32)
+
+        def rep(x):
+            if x is None:
+                return None
+            x = np.asarray(x)
+            if x.ndim == 1:
+                x = x[None]
+            return np.repeat(x, n, axis=0) if x.shape[0] == 1 else x
+
+        imgs = self._dispatch_generate(
+            waveform=rep(waveform),
+            text_ids=rep(text_ids),
+            uncond_ids=rep(uncond_ids),
+            batch=n,
+            seed=seed,
+            seeds=seeds,
+            waveform2=rep(waveform2),
+            **knobs,
+        )
+        return self._select_best_impl(
+            self.params["clip_vision"],
+            self.params["clip_text"],
+            self.params["clip_text_projection"],
+            imgs,
+            text_ids,
+        )
+
+    def generate_best_of(self, n: int, **kw):
+        """Generate ``n`` candidates (distinct per-lane seeds) and return
+        ``(best_image [H,W,3] uint8, clip_scores [n])`` — the candidate
+        with the highest CLIPScore against the prompt, selected ON DEVICE.
+
+        The serve-time quality knob the reference has no counterpart for:
+        candidates ride one batched program (per-image cost drops ~30% at
+        batch 8, BENCH_NOTES.md), ranking reuses the in-repo CLIP towers
+        (the evaluator's CLIPScore path), and only the winning image is
+        fetched. Requires converted CLIP vision weights."""
+        best, scores = self._dispatch_best_of(n, **kw)
+        return np.asarray(best), np.asarray(scores)
+
 
 def save_pipeline(path: str, params: Dict[str, Any]) -> str:
     """Persist the full parameter set (all six towers) as one orbax

@@ -94,19 +94,26 @@ class CLIPVisionEncoder(nn.Module):
         )
 
 
-def preprocess_images(images: np.ndarray, image_size: int = 224) -> np.ndarray:
+def preprocess_images_device(images: jax.Array, image_size: int = 224) -> jax.Array:
     """uint8 [B,H,W,3] -> CLIP-normalized float32 [B,224,224,3] (bilinear
-    resize + center crop + mean/std)."""
+    resize + center crop + mean/std). Pure-jnp so it can live INSIDE a
+    jitted program (the best-of-n reranker scores candidates on device and
+    fetches only the winner); shapes are static under trace."""
     import jax.image
 
-    x = jnp.asarray(images, jnp.float32) / 255.0
+    x = images.astype(jnp.float32) / 255.0
     b, h, w, _ = x.shape
     scale = image_size / min(h, w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
     x = jax.image.resize(x, (b, nh, nw, 3), method="bilinear")
     top, left = (nh - image_size) // 2, (nw - image_size) // 2
     x = x[:, top : top + image_size, left : left + image_size, :]
-    return np.asarray((x - CLIP_MEAN) / CLIP_STD)
+    return (x - CLIP_MEAN) / CLIP_STD
+
+
+def preprocess_images(images: np.ndarray, image_size: int = 224) -> np.ndarray:
+    """Host wrapper over ``preprocess_images_device`` (same numerics)."""
+    return np.asarray(preprocess_images_device(jnp.asarray(images), image_size))
 
 
 def convert_clip_vision(sd, cfg: CLIPVisionConfig | None = None):

@@ -337,6 +337,22 @@ def test_http_server_generate(tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 400
 
+        # best_of without converted CLIP vision weights -> loud 400 naming
+        # the missing weights (never silent garbage ranking)
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{port}/generate",
+                    data=json.dumps({"text": "a dog barks", "steps": 2,
+                                     "best_of": 2}).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+            )
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "CLIP" in json.loads(e.read())["error"]
+
         # bad route -> 404, malformed body -> 500 (server keeps running)
         try:
             urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")

@@ -338,6 +338,72 @@ def test_inpainting_mask_semantics(pipe):
         pipe.generate(**kw, mask_image=np.zeros((16, 16), np.uint8))
 
 
+def test_generate_best_of(pipe):
+    """best-of-n reranked serving: n candidates ride ONE batched program
+    with per-lane seeds, CLIPScore ranking + argmax-select run on device,
+    and the winner is bit-identical to the argmax candidate of the same
+    seeds generated through the public batch path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from clap2diffusion_tpu.core.config import CLIPVisionConfig
+    from clap2diffusion_tpu.models.clip_vision import CLIPVisionEncoder
+
+    ids = (np.arange(7)[None] % 97).astype(np.int32)
+    # base pipe has no CLIP vision weights -> loud refusal, not garbage
+    with pytest.raises(ValueError, match="CLIP"):
+        pipe.generate_best_of(2, text_ids=ids, num_steps=2)
+
+    vcfg = CLIPVisionConfig(image_size=28, patch_size=14, hidden_size=32,
+                            num_layers=1, num_heads=2, intermediate_size=64,
+                            projection_dim=24)
+    cfg = dataclasses.replace(
+        pipe.cfg, diffusion=dataclasses.replace(pipe.cfg.diffusion,
+                                                clip_vision=vcfg)
+    )
+    params = dict(pipe.params)
+    params["clip_vision"] = jax.jit(CLIPVisionEncoder(cfg=vcfg).init)(
+        jax.random.key(1), jnp.ones((1, 28, 28, 3))
+    )["params"]
+    params["clip_text_projection"] = (
+        np.asarray(jax.random.normal(
+            jax.random.key(2),
+            (pipe.cfg.diffusion.clip_text.hidden_size, 24),
+        )) * 0.05
+    )
+    pipe2 = AudioToImagePipeline(cfg, params=params)
+
+    wav = np.random.default_rng(0).normal(size=24_000).astype(np.float32) * 0.1
+    best, scores = pipe2.generate_best_of(
+        2, waveform=wav, text_ids=ids, num_steps=2, seed=3
+    )
+    assert best.shape == (64, 64, 3) and best.dtype == np.uint8
+    assert scores.shape == (2,) and np.isfinite(scores).all()
+    assert (scores >= 0.0).all() and (scores <= 100.0).all()
+
+    # the candidates are exactly generate(batch=2, seeds=[seed, seed+1])
+    cands = pipe2.generate(waveform=wav, text_ids=np.repeat(ids, 2, axis=0),
+                           batch=2, num_steps=2, seeds=[3, 4])
+    assert np.abs(cands[0].astype(int) - cands[1].astype(int)).max() > 0
+    np.testing.assert_array_equal(best, cands[int(np.argmax(scores))])
+
+    # validation: one prompt only, no init_image, no batch override
+    with pytest.raises(ValueError, match="ONE prompt"):
+        pipe2.generate_best_of(2, text_ids=np.repeat(ids, 2, axis=0),
+                               num_steps=2)
+    with pytest.raises(ValueError, match="text"):
+        pipe2.generate_best_of(2, num_steps=2)
+    with pytest.raises(ValueError, match="init_image"):
+        pipe2.generate_best_of(
+            2, text_ids=ids, num_steps=2,
+            init_image=np.zeros((64, 64, 3), np.uint8),
+        )
+    with pytest.raises(ValueError, match="batch"):
+        pipe2.generate_best_of(2, text_ids=ids, num_steps=2, batch=2)
+
+
 def test_inpainting_dpmpp_sampler(pipe):
     """The blend hook also rides the DPM-Solver++(2M) scan, and its x0
     history stays consistent: an all-ones mask is bit-identical to plain
