@@ -34,7 +34,7 @@ def build_generator(cfg: Config):
     def generate(audio_path, prompt, model_name, norm_value, steps, cfg_scale,
                  seed, sampler="ddim", negative="", init_image=None,
                  strength=0.8, audio2_path=None, audio_mix=0.5,
-                 mask_image=None, cfg_rescale=0.0):
+                 mask_image=None, cfg_rescale=0.0, best_of=1):
         wav = pipe.load_audio(audio_path) if audio_path else None
         text_ids = tok(prompt or "")
         # mask decoded regardless of the init image so the pipeline's
@@ -47,6 +47,32 @@ def build_generator(cfg: Config):
             pipe.load_init_image(mask_image, mask=True)
             if mask_image is not None else None
         )
+        if int(best_of) > 1:
+            if init is not None or mask is not None:
+                raise ValueError("best-of-n is unsupported with init/mask "
+                                 "images (candidates need per-lane seeds)")
+            img, scores = pipe.generate_best_of(
+                int(best_of),
+                waveform=wav,
+                text_ids=text_ids,
+                uncond_ids=tok(negative or ""),
+                num_steps=int(steps),
+                guidance_scale=float(cfg_scale),
+                norm_target=float(norm_value),
+                model_type=_MODEL_TYPES.get(model_name, "hierarchical"),
+                seed=int(seed),
+                sampler=str(sampler),
+                waveform2=pipe.load_audio(audio2_path) if audio2_path else None,
+                audio_mix=float(audio_mix),
+                guidance_rescale=float(cfg_rescale),
+            )
+            info = (
+                f"model={model_name} steps={int(steps)} cfg={cfg_scale} "
+                f"norm={norm_value} seed={int(seed)} sampler={sampler} "
+                f"best_of={int(best_of)} clip_scores="
+                f"{[round(float(s), 2) for s in scores]}"
+            )
+            return np.asarray(img), info
         img = pipe.generate(
             waveform=wav,
             text_ids=text_ids,
@@ -109,6 +135,11 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
                 cfg_r = gr.Slider(0.0, 1.0, value=0.0,
                                   label="CFG rescale (0 = plain CFG)")
                 seed = gr.Number(value=42, precision=0, label="Seed")
+                best_of = gr.Slider(
+                    1, 8, value=1, step=1,
+                    label="Best-of-N (CLIPScore rerank; needs CLIP vision "
+                          "weights)",
+                )
                 with gr.Accordion("img2img / composition", open=False):
                     init_img = gr.Image(label="Init image (SDEdit)")
                     strength = gr.Slider(0.05, 1.0, value=0.8,
@@ -126,7 +157,7 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
         btn.click(
             generate,
             [audio, prompt, model, norm, steps, cfg_s, seed, sampler, negative,
-             init_img, strength, audio2, mix, mask_img, cfg_r],
+             init_img, strength, audio2, mix, mask_img, cfg_r, best_of],
             [image, info],
         )
 

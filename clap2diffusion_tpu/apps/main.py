@@ -230,7 +230,7 @@ def cmd_evaluate(args) -> int:
     results = run_evaluation(
         cfg, data_root=args.data_root, max_samples=args.max_samples,
         num_steps=args.steps, seed=args.seed, params=params,
-        sampler=args.sampler,
+        sampler=args.sampler, shard=args.shard,
     )
     out = args.output or "evaluation_results.json"
     with open(out, "w") as f:
@@ -447,6 +447,10 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--sampler", default=None,
                     choices=["ddim", "dpmpp_2m", "dpmpp_2m_karras"])
     pe.add_argument("--seed", type=int, default=42)
+    pe.add_argument("--shard", action="store_true",
+                    help="fan generation out over ALL devices' data mesh "
+                         "(device_count-sized groups, per-lane seeds) — "
+                         "near-linear eval throughput on multi-chip hosts")
     pe.add_argument("--output", default=None)
     pe.add_argument("--checkpoint", default=None,
                     help="orbax pipeline checkpoint to evaluate")

@@ -116,6 +116,56 @@ def test_run_evaluation_tiny(tmp_path):
     assert len(res["samples"]) == 2
 
 
+@pytest.mark.slow
+def test_run_evaluation_sharded(tmp_path, eight_devices):
+    """``evaluate --shard``: generation fans out over the 8-device data
+    mesh in device_count-sized groups (tail group padded, pads dropped);
+    per-sample records and metrics come out the same shape as the serial
+    path."""
+    from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
+    from clap2diffusion_tpu.eval.evaluate import run_evaluation
+    from tests.test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    root = str(tmp_path / "ds")
+    meta = make_fixture_dataset(root, n_train=1, n_val=1, n_test=3,
+                                duration_s=0.5, latent_hw=8)
+    res = run_evaluation(cfg, data_root=root, max_samples=3, num_steps=2,
+                         seed=42, shard=True)
+    assert res["config"]["n"] == 3 and res["config"]["shard"] is True
+    assert len(res["samples"]) == 3  # pads dropped
+    test_ids = {s["id"] for s in meta["samples"] if s["split"] == "test"}
+    assert {s["id"] for s in res["samples"]} <= test_ids
+    assert np.isfinite(res["summary"]["latency_s"]["mean"])
+    assert np.isfinite(res["summary"]["image_std"]["mean"])
+    assert res["image_stats"]  # 3 real images made it into the stack
+
+
+@pytest.mark.slow
+def test_gradio_build_generator(tmp_path):
+    """The gradio click handler (testable without gradio itself): full knob
+    surface produces an image + info string; best-of without CLIP vision
+    weights refuses loudly."""
+    from clap2diffusion_tpu.apps.gradio_app import build_generator
+    from clap2diffusion_tpu.utils.audio_io import write_wav
+    from tests.test_pipeline import tiny_config
+
+    wav_path = str(tmp_path / "a.wav")
+    write_wav(wav_path,
+              (np.sin(np.linspace(0, 440 * np.pi, 24_000)) * 0.4
+               ).astype(np.float32),
+              48_000)
+    generate = build_generator(tiny_config())
+    img, info = generate(wav_path, "a dog barks", "Hierarchical V4",
+                         norm_value=60, steps=2, cfg_scale=7.5, seed=3)
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert "steps=2" in info and "seed=3" in info
+
+    with pytest.raises(ValueError, match="CLIP"):
+        generate(wav_path, "a dog barks", "Hierarchical V4",
+                 norm_value=60, steps=2, cfg_scale=7.5, seed=3, best_of=2)
+
+
 def test_roberta_tokenizer_fallback():
     from clap2diffusion_tpu.models.roberta_tokenizer import (
         BOS, EOS, PAD, RobertaTokenizer,
