@@ -58,7 +58,12 @@ def chained(label, step, carry0, k=8, iters=3):
     t1 = timed(run(k), carry0, iters=iters)
     t2 = timed(run(2 * k), carry0, iters=iters)
     per = (t2 - t1) / k
-    print(f"{label}: {per*1e3:.3f} ms", flush=True)
+    # tunnel wall-time medians jitter by tens of ms; when the scan-2k vs
+    # scan-k difference is not clearly above that, the quotient is noise —
+    # say so instead of printing a garbage (possibly negative) number
+    noise = per <= 0 or (t2 - t1) < 0.25 * t1
+    tag = "  [WITHIN TUNNEL NOISE - unreliable]" if noise else ""
+    print(f"{label}: {per*1e3:.3f} ms{tag}", flush=True)
     return per
 
 
@@ -80,7 +85,7 @@ def main():
     # 1. log-mel alone (carry the waveform; fold a data dependency back in)
     def mel_step(c):
         mel = log_mel_spectrogram(c, cfg.clap.frontend)
-        return c + jnp.mean(mel) * 0.0
+        return c + (jnp.mean(mel) * 1e-6).astype(c.dtype)
 
     chained("log_mel frontend", mel_step, wav)
 
@@ -91,7 +96,7 @@ def main():
 
     def htsat_step(c):
         emb = tower.apply({"params": cp}, c)
-        return c + jnp.mean(emb) * 0.0
+        return c + (jnp.mean(emb) * 1e-6).astype(c.dtype)
 
     chained("htsat tower", htsat_step, mel0)
 
@@ -102,7 +107,7 @@ def main():
 
     def vae_step(c):
         img = vae.apply({"params": vp}, c, method=AutoencoderKL.decode_latent)
-        return c + jnp.mean(img).astype(c.dtype) * 0.0
+        return c + (jnp.mean(img) * 1e-6).astype(c.dtype)
 
     chained("vae decode 512", vae_step, z, k=4)
 
@@ -131,9 +136,14 @@ def main():
             return m.apply({"params": p}, c).astype(c.dtype)
 
         fl = 3 * 2 * 2 * size * size * ch * ch * 9
-        per = chained(f"vae 3-resnet {size}x{size}x{ch}", stack_step, x0, k=4)
-        print(f"   -> {fl/per/1e12:.1f} TFLOP/s ({100*fl/per/1e12/197:.0f}% MFU)",
-              flush=True)
+        per = chained(f"vae 3-resnet {size}x{size}x{ch}", stack_step, x0, k=8)
+        if per > 0:
+            print(f"   -> {fl/per/1e12:.1f} TFLOP/s "
+                  f"({100*fl/per/1e12/197:.0f}% MFU)", flush=True)
+        # NOTE: isolated-stack quotients disagree with the full-decode
+        # number (which a DCE-proof probe pins at ~19 ms / ~63% MFU for the
+        # whole 512px decode); trust the full-decode row, use these only
+        # for relative comparisons within one session.
 
 
 if __name__ == "__main__":
