@@ -128,9 +128,10 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
                 )
                 norm = gr.Slider(10, 200, value=60, label="Audio norm target")
                 steps = gr.Slider(10, 100, value=50, step=1, label="Steps")
-                sampler = gr.Dropdown(["ddim", "dpmpp_2m", "dpmpp_2m_karras"],
-                                      value="ddim",
-                                      label="Sampler (dpmpp_2m: ~20 steps)")
+                sampler = gr.Dropdown(
+                    ["ddim", "dpmpp_2m", "dpmpp_2m_karras", "euler_a"],
+                    value="ddim",
+                    label="Sampler (dpmpp_2m: ~20 steps; euler_a: stochastic)")
                 cfg_s = gr.Slider(1.0, 20.0, value=7.5, label="CFG scale")
                 cfg_r = gr.Slider(0.0, 1.0, value=0.0,
                                   label="CFG rescale (0 = plain CFG)")

@@ -393,10 +393,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="orbax pipeline checkpoint (save_pipeline / "
                          "tools/convert_checkpoints.py output)")
     pi.add_argument("--sampler", default=None,
-                    choices=["ddim", "dpmpp_2m", "dpmpp_2m_karras"],
+                    choices=["ddim", "dpmpp_2m", "dpmpp_2m_karras", "euler_a"],
                     help="sampling algorithm (default: config; dpmpp_2m "
                          "reaches DDIM-50 quality in ~20 steps; the "
-                         "_karras variant concentrates steps at low noise)")
+                         "_karras variant concentrates steps at low noise; "
+                         "euler_a is stochastic — softer, seed-varied "
+                         "textures)")
     pi.add_argument("--model-type", default="hierarchical",
                     choices=["hierarchical", "sonic", "baseline", "audio_tokens"])
     pi.add_argument("--init-image", default=None,
@@ -445,7 +447,7 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--max-samples", type=int, default=8)
     pe.add_argument("--steps", type=int, default=50)
     pe.add_argument("--sampler", default=None,
-                    choices=["ddim", "dpmpp_2m", "dpmpp_2m_karras"])
+                    choices=["ddim", "dpmpp_2m", "dpmpp_2m_karras", "euler_a"])
     pe.add_argument("--seed", type=int, default=42)
     pe.add_argument("--shard", action="store_true",
                     help="fan generation out over ALL devices' data mesh "

@@ -113,6 +113,7 @@ def ddim_sample(
     num_inference_steps: int = 50,
     timesteps: jax.Array | None = None,
     blend_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    rng: jax.Array | None = None,
 ) -> jax.Array:
     """Run the full DDIM loop as one lax.scan.
 
@@ -121,8 +122,10 @@ def ddim_sample(
     by img2img to run only the tail of the schedule). ``blend_fn(lat,
     t_prev)`` post-processes each update (inpainting re-imposes the known
     region there); it stays inside the one scan, so the hook is free when
-    unused.
+    unused. ``rng`` is part of the uniform SAMPLERS signature; this sampler
+    is deterministic and ignores it.
     """
+    del rng  # deterministic ODE sampler
     ts = (
         ddim_timesteps(num_inference_steps, schedule.num_train_timesteps)
         if timesteps is None
@@ -149,6 +152,7 @@ def dpmpp_2m_sample(
     num_inference_steps: int = 20,
     timesteps: jax.Array | None = None,
     blend_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    rng: jax.Array | None = None,
 ) -> jax.Array:
     """DPM-Solver++(2M): deterministic second-order multistep sampler.
 
@@ -158,8 +162,10 @@ def dpmpp_2m_sample(
     Follows the data-prediction multistep formulation (Lu et al. 2022,
     "DPM-Solver++"), first-order on the first step, one ``lax.scan`` like
     ``ddim_sample``. Same leading-spaced timestep grid as DDIM so the two
-    samplers differ only in the update rule.
+    samplers differ only in the update rule. ``rng`` is ignored
+    (deterministic sampler; uniform SAMPLERS signature).
     """
+    del rng
     ts = (
         ddim_timesteps(num_inference_steps, schedule.num_train_timesteps)
         if timesteps is None
@@ -259,21 +265,105 @@ def dpmpp_2m_karras_sample(
     num_inference_steps: int = 20,
     timesteps: jax.Array | None = None,
     blend_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    rng: jax.Array | None = None,
 ) -> jax.Array:
     """DPM-Solver++(2M) on the Karras sigma grid — the standard low-step
     pairing (concentrates steps at low noise where detail forms). When an
     explicit ``timesteps`` grid is passed (img2img tail slices), it wins
-    and this reduces to plain ``dpmpp_2m``."""
+    and this reduces to plain ``dpmpp_2m``. ``rng`` is ignored
+    (deterministic sampler; uniform SAMPLERS signature)."""
     if timesteps is None:
         timesteps = karras_timesteps(num_inference_steps, schedule)
     return dpmpp_2m_sample(eps_fn, schedule, latents, num_inference_steps,
                            timesteps, blend_fn)
 
 
+def euler_ancestral_sample(
+    eps_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    schedule: NoiseSchedule,
+    latents: jax.Array,
+    num_inference_steps: int = 50,
+    timesteps: jax.Array | None = None,
+    blend_fn: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Euler-ancestral: stochastic first-order sampler (``euler_a``).
+
+    Beyond the reference surface (its intended sampler is deterministic
+    50-step DDIM, reference scripts/inference.py:153-166). On the
+    variance-preserving grid this is exactly DDIM with eta=1 — the
+    discrete-time counterpart of k-diffusion's ``sample_euler_ancestral``:
+    each update jumps to a *lower* intermediate noise level deterministically
+    and re-adds the variance gap as fresh noise. Stochasticity decorrelates
+    error accumulation, giving the softer, more varied textures users pick
+    ancestral samplers for.
+
+    A deterministic Euler sampler is deliberately NOT registered: in epsilon
+    parameterization on this grid, Euler's update is algebraically identical
+    to DDIM's, so it would be a second name for the same program.
+
+    ``rng``: a PRNG key (shape ``()``) or a per-lane key array (shape
+    ``[B]``, matching ``latents.shape[0]``) — the per-lane form keeps each
+    image's noise a function of its own seed, preserving the request
+    coalescer's batch-composition-independence contract. Per-step keys are
+    derived via ``fold_in(rng, step_index)``; no key state crosses the scan
+    carry. The final step (``t_prev < 0``) adds no noise, so the output is a
+    clean sample.
+    """
+    if rng is None:
+        raise ValueError("euler_a is stochastic: pass rng= a jax.random key")
+    ts = (
+        ddim_timesteps(num_inference_steps, schedule.num_train_timesteps)
+        if timesteps is None
+        else timesteps
+    )
+    ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], jnp.int32)])
+    idx = jnp.arange(ts.shape[0], dtype=jnp.int32)
+    per_lane = rng.ndim == 1
+    if per_lane and rng.shape[0] != latents.shape[0]:
+        raise ValueError(
+            f"per-lane rng has {rng.shape[0]} keys for batch {latents.shape[0]}"
+        )
+
+    def draw(i, shape):
+        if per_lane:
+            return jax.vmap(
+                lambda k: jax.random.normal(jax.random.fold_in(k, i), shape[1:])
+            )(rng)
+        return jax.random.normal(jax.random.fold_in(rng, i), shape)
+
+    def body(lat, tti):
+        t, t_prev, i = tti
+        eps = eps_fn(lat, t).astype(jnp.float32)
+        lat32 = lat.astype(jnp.float32)
+        a_t = schedule.alphas_cumprod[t]
+        a_prev = jnp.where(
+            t_prev >= 0,
+            schedule.alphas_cumprod[jnp.maximum(t_prev, 0)],
+            schedule.alphas_cumprod[0],
+        )
+        x0 = (lat32 - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+        # eta=1 posterior std (Song et al. 2020 DDIM eq. 16); algebraically
+        # <= sqrt(1 - a_prev), clamped only against fp rounding
+        var = (1.0 - a_prev) / (1.0 - a_t) * (1.0 - a_t / a_prev)
+        sigma = jnp.where(t_prev >= 0, jnp.sqrt(jnp.maximum(var, 0.0)), 0.0)
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+        z = draw(i, lat.shape)
+        new = jnp.sqrt(a_prev) * x0 + dir_xt + sigma * z
+        new = new.astype(lat.dtype)
+        if blend_fn is not None:
+            new = blend_fn(new, t_prev)
+        return new, None
+
+    final, _ = jax.lax.scan(body, latents, (ts, ts_prev, idx))
+    return final
+
+
 SAMPLERS = {
     "ddim": ddim_sample,
     "dpmpp_2m": dpmpp_2m_sample,
     "dpmpp_2m_karras": dpmpp_2m_karras_sample,
+    "euler_a": euler_ancestral_sample,
 }
 
 

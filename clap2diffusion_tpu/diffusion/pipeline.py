@@ -300,6 +300,12 @@ class AudioToImagePipeline:
         # dispatch, and on the tunneled backend every dispatch costs a ~30 ms
         # round-trip (measured; see BENCH_NOTES.md).
         rng = jax.random.key(seed)
+        # Sampler noise stream (used by stochastic samplers only): a fold_in
+        # tag keeps it disjoint from the init-latent / VAE streams, and the
+        # deterministic samplers `del` it, so XLA DCEs the derivation and
+        # their compiled programs — and the frozen image golden — are
+        # unchanged.
+        samp_rng = jax.random.fold_in(rng, 0x5A)
         # CLAP encode fused into the same program: one dispatch per image
         # (a separate encode call costs an extra host round-trip).
         clap_emb = None
@@ -391,7 +397,7 @@ class AudioToImagePipeline:
 
             latents = SAMPLERS[sampler](
                 eps_fn, self.schedule, latents, num_steps, timesteps=ts,
-                blend_fn=blend_fn,
+                blend_fn=blend_fn, rng=samp_rng,
             )
         else:
             if seeds is not None:
@@ -406,11 +412,16 @@ class AudioToImagePipeline:
                 latents = jax.vmap(
                     lambda k: jax.random.normal(k, (lat_size, lat_size, 4))
                 )(keys).astype(self.compute_dtype)
+                # per-lane sampler stream: image i's ancestral noise depends
+                # only on seeds[i] (same coalescing contract as the init
+                # latents above)
+                samp_rng = jax.vmap(lambda k: jax.random.fold_in(k, 0x5A))(keys)
             else:
                 latents = jax.random.normal(
                     rng, (batch, lat_size, lat_size, 4)
                 ).astype(self.compute_dtype)
-            latents = SAMPLERS[sampler](eps_fn, self.schedule, latents, num_steps)
+            latents = SAMPLERS[sampler](eps_fn, self.schedule, latents,
+                                        num_steps, rng=samp_rng)
         img = self.m.vae.apply(
             {"params": params["vae"]}, latents,
             method=AutoencoderKL.decode_latent,

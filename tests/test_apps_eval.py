@@ -254,6 +254,37 @@ def test_generate_sampler_dpmpp_2m():
         pipe.generate(sampler="euler_xyz", **kw)
 
 
+def test_generate_sampler_euler_a():
+    """euler_a end-to-end: seed-deterministic, differs from DDIM (it
+    injects ancestral noise), and the per-lane seeds path gives identical
+    lanes for identical seeds, different lanes for different seeds."""
+    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
+    from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
+    from tests.test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    pipe = AudioToImagePipeline(cfg, seed=0)
+    tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
+    wav = (np.sin(np.linspace(0, 330 * np.pi, cfg.clap.frontend.num_samples))
+           * 0.5).astype(np.float32)
+    kw = dict(waveform=wav, text_ids=tok("wind"), uncond_ids=tok(""),
+              num_steps=3, seed=7)
+    ea = pipe.generate(sampler="euler_a", **kw)
+    assert ea.shape == (1, 64, 64, 3) and ea.dtype == np.uint8
+    np.testing.assert_array_equal(ea, pipe.generate(sampler="euler_a", **kw))
+    ddim = pipe.generate(sampler="ddim", **kw)
+    assert np.abs(ea.astype(np.int32) - ddim.astype(np.int32)).mean() > 0.5
+    # per-lane seeds: same seed -> bit-identical lanes, different -> distinct
+    kw2 = dict(kw, batch=2,
+               text_ids=np.tile(tok("wind"), (2, 1)),
+               uncond_ids=np.tile(tok(""), (2, 1)))
+    del kw2["seed"]
+    same = pipe.generate(sampler="euler_a", seeds=np.array([5, 5]), **kw2)
+    np.testing.assert_array_equal(same[0], same[1])
+    diff = pipe.generate(sampler="euler_a", seeds=np.array([5, 9]), **kw2)
+    assert np.abs(diff[0].astype(np.int32) - diff[1].astype(np.int32)).mean() > 0.5
+
+
 def test_generate_stream_matches_sequential():
     from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
     from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer

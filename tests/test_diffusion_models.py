@@ -262,6 +262,80 @@ def test_dpmpp_2m_karras_perfect_eps_recovers_x0():
                                atol=1e-4)
 
 
+def test_euler_a_single_step_is_ddim_and_rng_free():
+    """The final step (t_prev < 0) adds no noise, so a 1-step euler_a run is
+    exactly the 1-step DDIM update and independent of the rng."""
+    from clap2diffusion_tpu.diffusion.ddim import euler_ancestral_sample
+
+    s = NoiseSchedule.create(SchedulerConfig())
+    xt = jax.random.normal(jax.random.key(0), (1, 8, 8, 4))
+    eps_fn = lambda lat, t: lat * 0.1
+    ddim = ddim_sample(eps_fn, s, xt, num_inference_steps=1)
+    outs = [
+        euler_ancestral_sample(eps_fn, s, xt, num_inference_steps=1,
+                               rng=jax.random.key(k))
+        for k in (1, 2)
+    ]
+    # rng-free: bitwise identical across keys
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[1]))
+    # equals the DDIM update up to XLA fusion rounding (the dead +sigma*z
+    # term changes the fusion grouping by ~1 ulp)
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(ddim),
+                               atol=1e-6)
+
+
+def test_euler_a_determinism_and_rng_sensitivity():
+    from clap2diffusion_tpu.diffusion.ddim import euler_ancestral_sample
+
+    s = NoiseSchedule.create(SchedulerConfig())
+    w = jax.random.normal(jax.random.key(2), (4, 4)) * 0.1
+    eps_fn = lambda lat, t: jnp.tanh(lat @ w)
+    xt = jax.random.normal(jax.random.key(3), (1, 8, 8, 4))
+    a = euler_ancestral_sample(eps_fn, s, xt, num_inference_steps=8,
+                               rng=jax.random.key(7))
+    b = euler_ancestral_sample(eps_fn, s, xt, num_inference_steps=8,
+                               rng=jax.random.key(7))
+    c = euler_ancestral_sample(eps_fn, s, xt, num_inference_steps=8,
+                               rng=jax.random.key(8))
+    d = ddim_sample(eps_fn, s, xt, num_inference_steps=8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(jnp.abs(a - c).mean()) > 1e-3  # stochastic in the rng
+    assert float(jnp.abs(a - d).mean()) > 1e-3  # differs from the ODE path
+    assert np.isfinite(np.asarray(a)).all()
+    # the injected noise is bounded by the schedule: the stochastic sample
+    # stays at the deterministic trajectory's scale, not a random walk
+    # (the toy eps_fn doesn't denoise, so both trajectories amplify the
+    # latent equally — compare relative, not absolute, scale)
+    assert float(jnp.abs(a).mean()) < 2.0 * float(jnp.abs(d).mean())
+    with pytest.raises(ValueError, match="stochastic"):
+        euler_ancestral_sample(eps_fn, s, xt, num_inference_steps=8)
+
+
+def test_euler_a_per_lane_keys_are_batch_independent():
+    """With a [B] key array, lane i's output is a function of key i alone —
+    the same batch-composition-independence contract as per-lane init
+    latents (the server coalescer relies on it)."""
+    from clap2diffusion_tpu.diffusion.ddim import euler_ancestral_sample
+
+    s = NoiseSchedule.create(SchedulerConfig())
+    w = jax.random.normal(jax.random.key(2), (4, 4)) * 0.1
+    eps_fn = lambda lat, t: jnp.tanh(lat @ w)  # lane-independent model
+    xt = jax.random.normal(jax.random.key(3), (2, 8, 8, 4))
+    keys = jax.random.split(jax.random.key(11), 2)
+    both = euler_ancestral_sample(eps_fn, s, xt, num_inference_steps=6,
+                                  rng=keys)
+    for i in range(2):
+        solo = euler_ancestral_sample(eps_fn, s, xt[i:i + 1],
+                                      num_inference_steps=6,
+                                      rng=keys[i:i + 1])
+        np.testing.assert_allclose(np.asarray(both[i:i + 1]),
+                                   np.asarray(solo), atol=1e-5)
+    # mismatched key count fails loudly
+    with pytest.raises(ValueError, match="per-lane rng"):
+        euler_ancestral_sample(eps_fn, s, xt, num_inference_steps=6,
+                               rng=keys[:1])
+
+
 def test_cfg_folding():
     """guidance 1.0 == pure conditional; uncond==cond collapses guidance."""
     calls = {}
