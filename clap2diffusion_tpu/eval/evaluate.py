@@ -7,7 +7,9 @@ The reference's evaluator loops a dataset and writes
 computed with the real CLAP towers and image statistics are real; CLIP-score
 and ``frechet_clip_vision`` (generated-vs-reference-frame Frechet over CLIP
 vision features) activate when the CLIP vision weights are supplied; and
-**standard FID** (``fid``) plus a real Inception Score activate when
+**standard FID** (``fid``), **KID** (``kid`` — unbiased polynomial MMD^2,
+the right estimator at small eval sample counts where FID's 2048-dim
+Gaussian fit is strongly biased) plus a real Inception Score activate when
 InceptionV3 weights are supplied under ``params["inception_v3"]``
 (models/inception_v3.py — pool3/2048 features, the extractor the
 reference's declared ``fid_score`` assumes). Fixed eval seed 42, like the
@@ -227,9 +229,19 @@ def run_evaluation(
                 )["pool3"]
             )
             if len(refs) >= 2:
-                summary["fid"] = M.fid_from_images(
-                    image_arr, np.stack(refs), pool3_fn, batch_size=8
-                )
+                # extract pool3 features ONCE, reuse for FID and KID (KID's
+                # unbiased MMD^2 complements the Frechet estimator's strong
+                # small-N bias at these sample counts)
+                def _pool3_feats(imgs):
+                    return np.concatenate([
+                        pool3_fn(imgs[i : i + 8])
+                        for i in range(0, len(imgs), 8)
+                    ])
+
+                f_gen = _pool3_feats(image_arr)
+                f_ref = _pool3_feats(np.stack(refs))
+                summary["fid"] = M.frechet_distance(f_gen, f_ref)
+                summary["kid"] = M.kid_from_features(f_gen, f_ref, seed=seed)
             # Real Inception Score over the generated set's class
             # posteriors. The tail batch pads up to 8 so every chunk hits
             # the same compiled program (no per-remainder retrace).

@@ -90,6 +90,53 @@ def summarize(per_sample: Dict[str, list]) -> Dict[str, Dict[str, float]]:
     return out
 
 
+def polynomial_mmd2(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
+    """Unbiased MMD^2 with the cubic polynomial kernel
+    k(x, y) = (x.y / d + 1)^3 (Binkowski et al. 2018, "Demystifying MMD
+    GANs" — the KID kernel). Unbiased: diagonal terms excluded, so the
+    estimate can be slightly negative when the two sets share a
+    distribution."""
+    m, d = feats_a.shape
+    n = feats_b.shape[0]
+    if m < 2 or n < 2:
+        raise ValueError(f"need >=2 samples per set, got {m} and {n}")
+    a = feats_a.astype(np.float64)
+    b = feats_b.astype(np.float64)
+    kaa = (a @ a.T / d + 1.0) ** 3
+    kbb = (b @ b.T / d + 1.0) ** 3
+    kab = (a @ b.T / d + 1.0) ** 3
+    sum_aa = (kaa.sum() - np.trace(kaa)) / (m * (m - 1))
+    sum_bb = (kbb.sum() - np.trace(kbb)) / (n * (n - 1))
+    return float(sum_aa + sum_bb - 2.0 * kab.mean())
+
+
+def kid_from_features(feats_a: np.ndarray, feats_b: np.ndarray,
+                      n_subsets: int = 10,
+                      subset_size: int | None = None,
+                      seed: int = 42) -> Dict[str, float]:
+    """Kernel Inception Distance: mean +/- std of unbiased polynomial-MMD^2
+    over random subsets (the block estimator of Binkowski et al. 2018).
+
+    Complements FID at the evaluator's small sample counts (8-64): the
+    Frechet estimator is strongly biased at small N (it fits a 2048-dim
+    Gaussian), while MMD^2_u is unbiased at any N. Same naming contract as
+    ``fid_from_images``: "KID" proper means InceptionV3 pool3 features; the
+    math is extractor-agnostic.
+    """
+    m = min(len(feats_a), len(feats_b))
+    size = min(subset_size or min(m, 1000), m)
+    if size >= len(feats_a) and size >= len(feats_b):
+        # subsets would all be the full sets — one exact pass
+        return {"mean": polynomial_mmd2(feats_a, feats_b), "std": 0.0}
+    rng = np.random.RandomState(seed)
+    vals = []
+    for _ in range(max(1, n_subsets)):
+        ia = rng.choice(len(feats_a), size, replace=False)
+        ib = rng.choice(len(feats_b), size, replace=False)
+        vals.append(polynomial_mmd2(feats_a[ia], feats_b[ib]))
+    return {"mean": float(np.mean(vals)), "std": float(np.std(vals))}
+
+
 def fid_from_images(images_a: np.ndarray, images_b: np.ndarray,
                     feature_fn: Callable[[np.ndarray], np.ndarray],
                     batch_size: int = 16) -> float:

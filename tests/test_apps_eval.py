@@ -33,6 +33,34 @@ def test_frechet_distance_properties():
     assert far > near and far == pytest.approx(8 * 25, rel=0.2)
 
 
+def test_kid_properties():
+    """Unbiased polynomial MMD^2 (Binkowski et al. 2018): ~0 for two draws
+    of the same distribution even at SMALL N (where FID is strongly
+    biased), clearly positive for shifted distributions, deterministic
+    given the subset seed."""
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(16, 8))
+    b = rng.normal(size=(16, 8))
+    same_dist = M.polynomial_mmd2(a, b)
+    far = M.polynomial_mmd2(a, b + 3.0)
+    # unbiased: same-distribution estimate is near 0 (may be negative) and
+    # dwarfed by the shifted pair
+    assert abs(same_dist) < far / 10
+    assert far > 1.0
+    # contrast with FID's small-N bias: same-distribution FID at N=16 in
+    # 8 dims is LARGE (the Gaussian fit is noise-dominated)
+    assert M.frechet_distance(a, b) > 10 * abs(same_dist)
+    # subset estimator: deterministic, reports mean +/- std; whole-set
+    # subsets collapse to one exact pass
+    k1 = M.kid_from_features(a, b + 3.0, n_subsets=5, subset_size=8, seed=3)
+    k2 = M.kid_from_features(a, b + 3.0, n_subsets=5, subset_size=8, seed=3)
+    assert k1 == k2 and k1["std"] > 0
+    kw = M.kid_from_features(a, b + 3.0)
+    assert kw["std"] == 0.0 and kw["mean"] == pytest.approx(far)
+    with pytest.raises(ValueError, match=">=2 samples"):
+        M.polynomial_mmd2(a[:1], b)
+
+
 def test_inception_score_uniform_vs_peaked():
     n, c = 100, 10
     uniform = np.full((n, c), 1.0 / c)

@@ -237,6 +237,10 @@ def test_run_evaluation_emits_standard_fid(tmp_path, monkeypatch):
                          seed=42, params=params)
     assert "fid" in res["summary"] and np.isfinite(res["summary"]["fid"])
     assert res["summary"]["fid"] > 0
+    # KID rides the same pool3 features (unbiased small-N companion to FID);
+    # random generated vs random reference frames -> clearly positive
+    assert "kid" in res["summary"]
+    assert np.isfinite(res["summary"]["kid"]["mean"])
     assert "inception_score" in res["summary"]
     assert res["summary"]["inception_score"]["mean"] >= 1.0
     # no CLIP vision weights -> no clip-vision metrics, and honest naming
