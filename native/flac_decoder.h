@@ -346,6 +346,12 @@ inline bool decode_stream(const uint8_t* bytes, size_t size, StreamInfo* info,
                       static_cast<float>(nch));
     }
     if (info->total_samples && mono->size() >= info->total_samples) break;
+    // Hard decode cap: CONSTANT frames legitimately expand far beyond the
+    // compressed byte count (silence), but a crafted stream of back-to-back
+    // max-blocksize constant frames could grow the buffers toward an
+    // OOM-kill before bad_alloc fires. 2^28 samples (~93 min mono @48 kHz)
+    // is far beyond any real corpus item; stop cleanly there.
+    if (mono->size() > (size_t(1) << 28)) break;
   }
   if (info->total_samples && mono->size() > info->total_samples)
     mono->resize(static_cast<size_t>(info->total_samples));
