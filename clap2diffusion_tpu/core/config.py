@@ -302,6 +302,13 @@ class StageConfig:
     use_ema: bool = False
     log_every: int = 50
     save_every: int = 500
+    # periodic validation: every eval_every steps, the stage loss is
+    # computed on eval_batches fixed val-split batches and logged with a
+    # val_ prefix (0 disables). Honors the reference YAML's eval_interval
+    # (reference configs/training_config.yaml:70), which no reference
+    # script actually reads.
+    eval_every: int = 500
+    eval_batches: int = 2
     # steps executed inside ONE jit call (lax.scan over stacked batches);
     # >1 amortizes per-dispatch latency — essential on remote-tunneled TPUs
     steps_per_call: int = 1

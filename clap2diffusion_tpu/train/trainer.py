@@ -317,6 +317,62 @@ def run_stage(
 
     rng = jax.random.key(seed)
 
+    # Periodic validation (eval_every; honors the reference YAML's
+    # eval_interval, reference configs/training_config.yaml:70, which no
+    # reference script reads): the stage's OWN loss on fixed val-split
+    # batches. The jitted eval returns only the metrics dict, so XLA DCEs
+    # the entire backward + optimizer update out of the compiled program —
+    # an eval step costs roughly a forward. A fixed rng makes successive
+    # evals comparable (same dropout/noising draw).
+    jeval = jax.jit(lambda s, b, r: step_fn(s, b, r, tx)[1])
+    _val = {"batches": None, "rng": jax.random.fold_in(jax.random.key(seed), 0xE7A1)}
+
+    def _eval_metrics(state):
+        if _val["batches"] is None:
+            batches = []
+            try:
+                val_ds = AudioCapsLatentDataset(
+                    data_root,
+                    split="val",
+                    audio_duration=cfg.data.duration_s,
+                    sample_rate=cfg.data.sample_rate,
+                    composition_strategy="matching",
+                    seed=cfg.data.seed,
+                    latent_hw=cfg.data.latent_shape[1],
+                )
+                # same-seed shuffle + strided slice: hosts see disjoint
+                # val samples, mirroring the train loader's sharding
+                order = np.arange(len(val_ds))
+                np.random.RandomState(cfg.data.seed).shuffle(order)
+                order = order[jax.process_index() :: jax.process_count()]
+                bs = scfg.batch_size
+                for b in range(min(scfg.eval_batches, len(order) // bs)):
+                    items = [val_ds[int(i)] for i in order[b * bs : (b + 1) * bs]]
+                    raw = {
+                        "audio": np.stack([it["audio"] for it in items]),
+                        "latent": np.stack([it["latent"] for it in items]),
+                        "caption": [it["caption"] for it in items],
+                        "audio_id": [it["audio_id"] for it in items],
+                    }
+                    emb = frontend.embed_batch(raw)
+                    batches.append(
+                        shard_host_batch(mesh, {k2: emb[k2] for k2 in keys})
+                    )
+            except Exception as e:  # no val split: disable, loudly
+                print(f"[run_stage] eval_every disabled: {e}")
+            if not batches:
+                print("[run_stage] eval_every disabled: val split smaller "
+                      f"than batch_size {scfg.batch_size}")
+            _val["batches"] = batches
+        if not _val["batches"]:
+            return None
+        vals = [jeval(state, b, _val["rng"]) for b in _val["batches"]]
+        return {
+            "val_" + k2: float(np.mean([float(v[k2]) for v in vals]))
+            for k2 in vals[0]
+            if np.ndim(vals[0][k2]) == 0
+        }
+
     # preemption-safe: TPU workers commonly get SIGTERM shortly before
     # eviction — catch it (and SIGINT) so the run saves a resumable
     # checkpoint instead of losing everything since the last save_every.
@@ -383,6 +439,11 @@ def run_stage(
                                        np.asarray(metrics).tolist()))
                 scalars["steps_per_s"] = done / (time.time() - t0)
                 logger.log(done, scalars)
+            if (scfg.eval_every > 0 and done >= scfg.eval_every
+                    and done % scfg.eval_every < spc):
+                vm = _eval_metrics(state)
+                if vm and is_coordinator():
+                    logger.log(done, vm)
             if checkpoint_dir and done % scfg.save_every < spc and done >= scfg.save_every:
                 save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_step{done}")
             if caught["sig"] is not None:
