@@ -405,6 +405,7 @@ def run_stage(
     epoch = 0
     t0 = time.time()
     pending = []
+    best_val = {"v": np.inf}
     while done < steps:
         for batch in loader.epoch(epoch):
             if spc == 1:
@@ -444,6 +445,17 @@ def run_stage(
                 vm = _eval_metrics(state)
                 if vm and is_coordinator():
                     logger.log(done, vm)
+                # best-checkpoint tracking (the reference's best_model.pth,
+                # train_stage3.py:260-281, kept by train-loss average; val
+                # loss is the more principled criterion now that we have
+                # one). vm is a GLOBAL mean (GSPMD reduction), so every
+                # host takes this branch in lockstep — orbax saves are
+                # collective, like the step checkpoints below.
+                if (vm and checkpoint_dir
+                        and vm.get("val_total", np.inf) < best_val["v"]):
+                    best_val["v"] = vm["val_total"]
+                    save_checkpoint(checkpoint_dir, state,
+                                    name=f"stage{stage}_best")
             if checkpoint_dir and done % scfg.save_every < spc and done >= scfg.save_every:
                 save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_step{done}")
             if caught["sig"] is not None:

@@ -45,8 +45,9 @@ def test_eval_every_logs_val_metrics(tmp_path):
     params = init_params(_cfg(0), seed=0)
 
     logs_on = tmp_path / "logs_on"
+    ckpt = tmp_path / "ckpt"
     state_on = run_stage(_cfg(2), 1, params, data_root=root, max_steps=6,
-                         log_dir=str(logs_on))
+                         log_dir=str(logs_on), checkpoint_dir=str(ckpt))
     recs = _read_jsonl(logs_on / "stage1.jsonl")
     val_recs = [r for r in recs if "val_total" in r]
     # eval fires at the eval_every boundary, repeatedly
@@ -57,6 +58,14 @@ def test_eval_every_logs_val_metrics(tmp_path):
     # successive evals use the same fixed batches + rng: the metric moves
     # because the PARAMS moved, not because the data resampled
     assert val_recs[0]["val_total"] != val_recs[-1]["val_total"]
+    # best-checkpoint tracking (the reference's best_model.pth,
+    # train_stage3.py:260-281): saved at the first eval, refreshed on
+    # improvement, restorable
+    assert (ckpt / "stage1_best").exists()
+    from clap2diffusion_tpu.train.checkpoint import restore_raw
+
+    best = restore_raw(str(ckpt), name="stage1_best")
+    assert "params" in best and "step" in best
 
     # eval is read-only: training with eval off gives bit-identical params
     state_off = run_stage(_cfg(0), 1, params, data_root=root, max_steps=6,
