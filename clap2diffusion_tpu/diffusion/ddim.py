@@ -312,6 +312,11 @@ def euler_ancestral_sample(
     """
     if rng is None:
         raise ValueError("euler_a is stochastic: pass rng= a jax.random key")
+    if not jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+        # legacy uint32 PRNGKey ([2] scalar / [B,2] batch): wrap to a typed
+        # key so the per-lane detection below (ndim) reads key COUNT, not
+        # raw key words
+        rng = jax.random.wrap_key_data(jnp.asarray(rng, jnp.uint32))
     ts = (
         ddim_timesteps(num_inference_steps, schedule.num_train_timesteps)
         if timesteps is None

@@ -231,33 +231,20 @@ def run_evaluation(
             if len(refs) >= 2:
                 # extract pool3 features ONCE, reuse for FID and KID (KID's
                 # unbiased MMD^2 complements the Frechet estimator's strong
-                # small-N bias at these sample counts)
-                def _pool3_feats(imgs):
-                    return np.concatenate([
-                        pool3_fn(imgs[i : i + 8])
-                        for i in range(0, len(imgs), 8)
-                    ])
-
-                f_gen = _pool3_feats(image_arr)
-                f_ref = _pool3_feats(np.stack(refs))
+                # small-N bias at these sample counts); batched_features
+                # pads tails so every chunk hits one compiled program
+                f_gen = M.batched_features(image_arr, pool3_fn, batch_size=8)
+                f_ref = M.batched_features(np.stack(refs), pool3_fn,
+                                           batch_size=8)
                 summary["fid"] = M.frechet_distance(f_gen, f_ref)
                 summary["kid"] = M.kid_from_features(f_gen, f_ref, seed=seed)
-            # Real Inception Score over the generated set's class
-            # posteriors. The tail batch pads up to 8 so every chunk hits
-            # the same compiled program (no per-remainder retrace).
-            chunks = []
-            for i in range(0, n, 8):
-                imgs = image_arr[i : i + 8]
-                k = len(imgs)
-                if k < 8:
-                    imgs = np.concatenate(
-                        [imgs, np.repeat(imgs[-1:], 8 - k, axis=0)]
-                    )
-                out = np.asarray(inception_apply(
+            # Real Inception Score over the generated set's class posteriors
+            logits_fn = lambda imgs: np.asarray(  # noqa: E731
+                inception_apply(
                     jnp.asarray(preprocess_images_inception(imgs))
-                )["logits"])
-                chunks.append(out[:k])
-            logits = np.concatenate(chunks)
+                )["logits"]
+            )
+            logits = M.batched_features(image_arr, logits_fn, batch_size=8)
             ex = np.exp(logits - logits.max(-1, keepdims=True))
             summary["inception_score"] = M.inception_score(ex / ex.sum(-1, keepdims=True))
 

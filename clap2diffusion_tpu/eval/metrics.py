@@ -154,10 +154,27 @@ def fid_from_images(images_a: np.ndarray, images_b: np.ndarray,
     below is extractor-agnostic and exact either way.
     """
 
-    def feats(images):
-        out = []
-        for i in range(0, len(images), batch_size):
-            out.append(np.asarray(feature_fn(images[i : i + batch_size])))
-        return np.concatenate(out, axis=0)
+    return frechet_distance(
+        batched_features(images_a, feature_fn, batch_size),
+        batched_features(images_b, feature_fn, batch_size),
+    )
 
-    return frechet_distance(feats(images_a), feats(images_b))
+
+def batched_features(images: np.ndarray,
+                     feature_fn: Callable[[np.ndarray], np.ndarray],
+                     batch_size: int = 16) -> np.ndarray:
+    """Apply ``feature_fn`` in fixed-size batches, padding the tail chunk by
+    repeating its last image (features are per-image, so padding is sliced
+    back off exactly). The pad keeps every chunk on ONE compiled program —
+    a remainder-shaped tail would trigger a fresh XLA compile of the whole
+    extractor tower, expensive on remote-tunneled TPUs."""
+    out = []
+    for i in range(0, len(images), batch_size):
+        chunk = images[i : i + batch_size]
+        k = len(chunk)
+        if k < batch_size:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], batch_size - k, axis=0)]
+            )
+        out.append(np.asarray(feature_fn(chunk))[:k])
+    return np.concatenate(out, axis=0)

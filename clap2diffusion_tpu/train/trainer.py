@@ -327,9 +327,22 @@ def run_stage(
     jeval = jax.jit(lambda s, b, r: step_fn(s, b, r, tx)[1])
     _val = {"batches": None, "rng": jax.random.fold_in(jax.random.key(seed), 0xE7A1)}
 
+    def _with_ema(state):
+        """Fold the EMA shadows over the trainable leaves, mirroring what
+        serving does (merge_stage_params --ema) — the 'best' criterion must
+        rank the weights that will actually be served."""
+        if state.ema_params is None:
+            return state
+        from clap2diffusion_tpu.train.stages import ema_path_key
+
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, x: state.ema_params.get(ema_path_key(p), x), state.params
+        )
+        return state.replace(params=params)
+
     def _eval_metrics(state):
         if _val["batches"] is None:
-            batches = []
+            batches, err = [], None
             try:
                 val_ds = AudioCapsLatentDataset(
                     data_root,
@@ -340,13 +353,19 @@ def run_stage(
                     seed=cfg.data.seed,
                     latent_hw=cfg.data.latent_shape[1],
                 )
-                # same-seed shuffle + strided slice: hosts see disjoint
-                # val samples, mirroring the train loader's sharding
+                # same-seed shuffle + strided slice: hosts see disjoint val
+                # samples, mirroring the train loader's sharding. The batch
+                # COUNT derives from the GLOBAL dataset size (identical on
+                # every host) — jeval and shard_host_batch are collective,
+                # so hosts must issue the same number of calls or the job
+                # deadlocks at the first eval boundary.
                 order = np.arange(len(val_ds))
                 np.random.RandomState(cfg.data.seed).shuffle(order)
                 order = order[jax.process_index() :: jax.process_count()]
                 bs = scfg.batch_size
-                for b in range(min(scfg.eval_batches, len(order) // bs)):
+                nb = min(scfg.eval_batches,
+                         len(val_ds) // (bs * jax.process_count()))
+                for b in range(nb):
                     items = [val_ds[int(i)] for i in order[b * bs : (b + 1) * bs]]
                     raw = {
                         "audio": np.stack([it["audio"] for it in items]),
@@ -358,15 +377,30 @@ def run_stage(
                     batches.append(
                         shard_host_batch(mesh, {k2: emb[k2] for k2 in keys})
                     )
-            except Exception as e:  # no val split: disable, loudly
-                print(f"[run_stage] eval_every disabled: {e}")
-            if not batches:
+            except Exception as e:  # dataset unreadable: disable, loudly
+                err = e
+                batches = []
+            if jax.process_count() > 1:
+                # belt-and-braces for per-host divergence (e.g. the dataset
+                # open raised on ONE host): agree on the minimum batch
+                # count so collective call counts match everywhere
+                from jax.experimental import multihost_utils
+
+                counts = multihost_utils.process_allgather(
+                    np.asarray(len(batches))
+                )
+                batches = batches[: int(np.min(counts))]
+            if err is not None:
+                print(f"[run_stage] eval_every disabled: {err}")
+            elif not batches:
                 print("[run_stage] eval_every disabled: val split smaller "
-                      f"than batch_size {scfg.batch_size}")
+                      f"than global batch {scfg.batch_size} x "
+                      f"{jax.process_count()} hosts")
             _val["batches"] = batches
         if not _val["batches"]:
             return None
-        vals = [jeval(state, b, _val["rng"]) for b in _val["batches"]]
+        estate = _with_ema(state)
+        vals = [jeval(estate, b, _val["rng"]) for b in _val["batches"]]
         return {
             "val_" + k2: float(np.mean([float(v[k2]) for v in vals]))
             for k2 in vals[0]
@@ -405,7 +439,17 @@ def run_stage(
     epoch = 0
     t0 = time.time()
     pending = []
+    # best-val tracking persists across preemption resume via a sidecar —
+    # otherwise the first post-resume eval (anything < inf) would overwrite
+    # stage{N}_best with a possibly worse state (review r3 finding)
     best_val = {"v": np.inf}
+    best_sidecar = (os.path.join(checkpoint_dir, f"stage{stage}_best_val.json")
+                    if checkpoint_dir else None)
+    if resume_from and best_sidecar and os.path.exists(best_sidecar):
+        import json as _json
+
+        with open(best_sidecar) as f:
+            best_val["v"] = float(_json.load(f)["val_total"])
     while done < steps:
         for batch in loader.epoch(epoch):
             if spc == 1:
@@ -456,6 +500,12 @@ def run_stage(
                     best_val["v"] = vm["val_total"]
                     save_checkpoint(checkpoint_dir, state,
                                     name=f"stage{stage}_best")
+                    if is_coordinator() and best_sidecar:
+                        import json as _json
+
+                        with open(best_sidecar, "w") as f:
+                            _json.dump({"val_total": best_val["v"],
+                                        "step": done}, f)
             if checkpoint_dir and done % scfg.save_every < spc and done >= scfg.save_every:
                 save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_step{done}")
             if caught["sig"] is not None:

@@ -336,6 +336,29 @@ def test_euler_a_per_lane_keys_are_batch_independent():
                                rng=keys[:1])
 
 
+def test_euler_a_accepts_legacy_prngkey():
+    """A legacy uint32 PRNGKey (shape [2]) must be read as ONE key, not two
+    per-lane keys — it wraps to a typed key and matches jax.random.key."""
+    from clap2diffusion_tpu.diffusion.ddim import euler_ancestral_sample
+
+    s = NoiseSchedule.create(SchedulerConfig())
+    eps_fn = lambda lat, t: lat * 0.1
+    xt = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    legacy = euler_ancestral_sample(eps_fn, s, xt, num_inference_steps=4,
+                                    rng=jax.random.PRNGKey(7))
+    typed = euler_ancestral_sample(eps_fn, s, xt, num_inference_steps=4,
+                                   rng=jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(legacy), np.asarray(typed))
+    # batched legacy keys [B, 2] wrap to B per-lane keys
+    legacy_b = jax.vmap(jax.random.PRNGKey)(jnp.arange(2))
+    typed_b = jax.vmap(jax.random.key)(jnp.arange(2))
+    a = euler_ancestral_sample(eps_fn, s, xt, num_inference_steps=4,
+                               rng=legacy_b)
+    b = euler_ancestral_sample(eps_fn, s, xt, num_inference_steps=4,
+                               rng=typed_b)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_cfg_folding():
     """guidance 1.0 == pure conditional; uncond==cond collapses guidance."""
     calls = {}
