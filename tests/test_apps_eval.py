@@ -255,17 +255,7 @@ def test_generate_sampler_dpmpp_2m():
     """The sampler knob is wired end-to-end: dpmpp_2m produces a valid,
     deterministic image that differs from DDIM on the same inputs, and an
     unknown name fails loudly."""
-    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
-    from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
-    from tests.test_pipeline import tiny_config
-
-    cfg = tiny_config()
-    pipe = AudioToImagePipeline(cfg, seed=0)
-    tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
-    wav = (np.sin(np.linspace(0, 330 * np.pi, cfg.clap.frontend.num_samples))
-           * 0.5).astype(np.float32)
-    kw = dict(waveform=wav, text_ids=tok("wind"), uncond_ids=tok(""),
-              num_steps=3, seed=7)
+    pipe, tok, kw = sampler_rig()
     dpm = pipe.generate(sampler="dpmpp_2m", **kw)
     assert dpm.shape == (1, 64, 64, 3) and dpm.dtype == np.uint8
     np.testing.assert_array_equal(dpm, pipe.generate(sampler="dpmpp_2m", **kw))
@@ -282,21 +272,37 @@ def test_generate_sampler_dpmpp_2m():
         pipe.generate(sampler="euler_xyz", **kw)
 
 
+_SAMPLER_RIG: dict = {}
+
+
+def sampler_rig():
+    """One tiny pipeline shared by the sampler tests: each extra pipeline
+    instance costs its own jit compiles of the full generate program, the
+    single biggest line item in the fast tier (review: 65 s for one test)."""
+    if not _SAMPLER_RIG:
+        from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
+        from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
+        from tests.test_pipeline import tiny_config
+
+        cfg = tiny_config()
+        pipe = AudioToImagePipeline(cfg, seed=0)
+        tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
+        wav = (np.sin(np.linspace(0, 330 * np.pi,
+                                  cfg.clap.frontend.num_samples))
+               * 0.5).astype(np.float32)
+        _SAMPLER_RIG["rig"] = (
+            pipe, tok,
+            dict(waveform=wav, text_ids=tok("wind"), uncond_ids=tok(""),
+                 num_steps=3, seed=7),
+        )
+    return _SAMPLER_RIG["rig"]
+
+
 def test_generate_sampler_euler_a():
     """euler_a end-to-end: seed-deterministic, differs from DDIM (it
     injects ancestral noise), and the per-lane seeds path gives identical
     lanes for identical seeds, different lanes for different seeds."""
-    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
-    from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
-    from tests.test_pipeline import tiny_config
-
-    cfg = tiny_config()
-    pipe = AudioToImagePipeline(cfg, seed=0)
-    tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
-    wav = (np.sin(np.linspace(0, 330 * np.pi, cfg.clap.frontend.num_samples))
-           * 0.5).astype(np.float32)
-    kw = dict(waveform=wav, text_ids=tok("wind"), uncond_ids=tok(""),
-              num_steps=3, seed=7)
+    pipe, tok, kw = sampler_rig()
     ea = pipe.generate(sampler="euler_a", **kw)
     assert ea.shape == (1, 64, 64, 3) and ea.dtype == np.uint8
     np.testing.assert_array_equal(ea, pipe.generate(sampler="euler_a", **kw))
@@ -314,13 +320,8 @@ def test_generate_sampler_euler_a():
 
 
 def test_generate_stream_matches_sequential():
-    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
-    from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
-    from tests.test_pipeline import tiny_config
-
-    cfg = tiny_config()
-    pipe = AudioToImagePipeline(cfg, seed=0)
-    tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
+    pipe, tok, _ = sampler_rig()
+    cfg = pipe.cfg
     rng = np.random.default_rng(0)
     wavs = [
         (rng.normal(size=cfg.clap.frontend.num_samples) * 0.2).astype(np.float32)
