@@ -19,6 +19,21 @@ from clap2diffusion_tpu.utils.audio_io import (
 )
 
 
+_PIPE = {}
+
+
+def _pipe():
+    """One shared tiny pipeline: each instance pays its own jit compiles,
+    ~15-20 s apiece in the fast tier (same pattern as test_apps_eval's
+    sampler_rig)."""
+    if not _PIPE:
+        from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
+        from tests.test_pipeline import tiny_config
+
+        _PIPE["pipe"] = AudioToImagePipeline(tiny_config(), seed=0)
+    return _PIPE["pipe"]
+
+
 def _sine(n=24_000, sr=48_000):
     t = np.arange(n) / sr
     return (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
@@ -44,11 +59,8 @@ def test_read_wav_pcm16_rejects_stereo(tmp_path):
 
 
 def test_load_audio_returns_int16_for_pcm16_sources(tmp_path):
-    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
-    from tests.test_pipeline import tiny_config
-
-    cfg = tiny_config()
-    pipe = AudioToImagePipeline(cfg, seed=0)
+    pipe = _pipe()
+    cfg = pipe.cfg
     p = str(tmp_path / "in.wav")
     write_wav(p, _sine(n=30_000), 48_000)  # longer than the 0.5 s target
     wav = pipe.load_audio(p)
@@ -64,11 +76,8 @@ def test_load_audio_louder_tail_takes_float_path(tmp_path):
     is only exact when the crop window keeps the global peak. A file whose
     loudest sample lies beyond the crop must fall back to the float path
     (full-file peak_normalize, then crop — the reference's order)."""
-    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
-    from tests.test_pipeline import tiny_config
-
-    cfg = tiny_config()
-    pipe = AudioToImagePipeline(cfg, seed=0)
+    pipe = _pipe()
+    cfg = pipe.cfg
     n = cfg.clap.frontend.num_samples
     x = np.full(2 * n, 0.1, np.float32)
     x[-1] = 0.9  # global peak beyond the crop window
@@ -84,10 +93,7 @@ def test_encode_audio_accepts_int16():
     """encode_audio is documented as load_audio's consumer, so it must
     dequantize the PCM16 fast path's int16 output the same way the
     generate program does."""
-    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
-    from tests.test_pipeline import tiny_config
-
-    pipe = AudioToImagePipeline(tiny_config(), seed=0)
+    pipe = _pipe()
     rng = np.random.default_rng(7)
     n = pipe.cfg.clap.frontend.num_samples
     pcm = (rng.normal(size=(1, n)) * 8000).clip(-32768, 32767).astype(np.int16)
@@ -120,12 +126,10 @@ def test_read_wav_pcm16_malformed_returns_none(tmp_path):
 
 
 def test_generate_int16_matches_float32():
-    from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
     from clap2diffusion_tpu.models.tokenizer import CLIPTokenizer
-    from tests.test_pipeline import tiny_config
 
-    cfg = tiny_config()
-    pipe = AudioToImagePipeline(cfg, seed=0)
+    pipe = _pipe()
+    cfg = pipe.cfg
     tok = CLIPTokenizer(max_length=cfg.diffusion.clip_text.max_length)
 
     rng = np.random.default_rng(3)
