@@ -76,6 +76,18 @@ loader = PrefetchLoader(ds, batch_size=1, seed=42, drop_last=False,
                         num_shards=jax.process_count())
 ids = sorted(b["audio_id"][0] for b in loader.epoch(0))
 print(f"RANK{{rank}} IDS {{','.join(ids)}}", flush=True)
+
+# The multi-host eval-count agreement primitive run_stage leans on
+# (review r3 deadlock finding): ranks that built DIFFERENT val batch
+# counts must converge on the minimum before issuing collective jeval
+# calls. process_allgather is itself a collective — both ranks completing
+# it with the same min is the assertion. (A full run_stage here costs two
+# extra ~2.5-min GSPMD compiles per rank on the Gloo CPU mesh — the
+# primitive is what the fix depends on.)
+from jax.experimental import multihost_utils
+
+counts = multihost_utils.process_allgather(np.asarray(1 + rank))
+print(f"RANK{{rank}} AGREE {{int(counts.min())}}", flush=True)
 """
 
 
@@ -100,13 +112,14 @@ def test_two_process_training_step(tmp_path):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), port, str(rank), data_root],
+            [sys.executable, str(script), port, str(rank), data_root,
+             str(tmp_path / "logs")],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for rank in (0, 1)
     ]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
     losses, rank_ids = [], []
@@ -125,6 +138,13 @@ def test_two_process_training_step(tmp_path):
     # (VERDICT round-2 missing #3)
     assert rank_ids[0].isdisjoint(rank_ids[1])
     assert len(rank_ids[0] | rank_ids[1]) == 6
+    # eval-count agreement: both ranks allgather their (different) counts
+    # and converge on the same minimum — the primitive run_stage's
+    # multi-host eval_every uses to keep collective call counts in lockstep
+    for out in outs:
+        line = [l for l in out.splitlines() if " AGREE " in l]
+        assert line, out[-2000:]
+        assert int(line[0].split()[-1]) == 1
 
 
 @pytest.mark.slow
