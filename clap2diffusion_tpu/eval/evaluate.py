@@ -143,17 +143,24 @@ def run_evaluation(
             images.extend(imgs[:k])
             latencies.extend([dt / k] * k)
     else:
-        for item in items:
-            t0 = time.time()
-            images.append(pipe.generate(
-                waveform=item["audio"],
-                text_ids=tok(item["caption"]),
-                uncond_ids=tok(""),
-                num_steps=num_steps,
-                seed=seed,
-                sampler=sampler,
-            )[0])
-            latencies.append(time.time() - t0)
+        # pipelined serial path: generate_stream keeps 2 requests in flight,
+        # overlapping one image's host transfers with its neighbour's device
+        # compute (~15% lower per-image wall time on the tunneled chip,
+        # BENCH_NOTES.md) — same images as the blocking loop, same order.
+        reqs = [
+            {"waveform": item["audio"], "text_ids": tok(item["caption"])}
+            for item in items
+        ]
+        t0 = time.time()
+        for img in pipe.generate_stream(
+            iter(reqs), depth=2,
+            uncond_ids=tok(""), num_steps=num_steps, seed=seed,
+            sampler=sampler,
+        ):
+            images.append(img[0])
+            t1 = time.time()
+            latencies.append(t1 - t0)
+            t0 = t1
 
     for item, img, dt in zip(items, images, latencies):
         clap_audio = np.asarray(
