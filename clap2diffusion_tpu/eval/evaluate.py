@@ -222,9 +222,14 @@ def run_evaluation(
                     imgs, cfg.diffusion.clip_vision.image_size
                 )))
             )
-            summary["frechet_clip_vision"] = M.fid_from_images(
-                image_arr, np.stack(refs), feature_fn
-            )
+            f_gen = M.batched_features(image_arr, feature_fn, batch_size=16)
+            f_ref = M.batched_features(np.stack(refs), feature_fn,
+                                       batch_size=16)
+            summary["frechet_clip_vision"] = M.frechet_distance(f_gen, f_ref)
+            # same honest naming: KID math over CLIP-vision features, NOT
+            # comparable with published (Inception) KID numbers
+            summary["kid_clip_vision"] = M.kid_from_features(f_gen, f_ref,
+                                                             seed=seed)
         if inception_apply is not None:
             from clap2diffusion_tpu.models.inception_v3 import (
                 preprocess_images_inception,

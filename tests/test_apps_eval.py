@@ -695,6 +695,8 @@ def test_run_evaluation_frechet_clip_vision(tmp_path):
     assert "clip_score" in res["summary"]
     assert "frechet_clip_vision" in res["summary"]
     assert np.isfinite(res["summary"]["frechet_clip_vision"])
+    assert "kid_clip_vision" in res["summary"]
+    assert np.isfinite(res["summary"]["kid_clip_vision"]["mean"])
     assert "fid" not in res["summary"]
 
 
