@@ -232,6 +232,81 @@ def test_shard_host_batch_axis1(eight_devices):
 
 
 @pytest.mark.slow
+def test_dp_tp_update_matches_unsharded(eight_devices, monkeypatch):
+    """GSPMD numerics pin for TRAINING: one stage-2 optimizer update on a
+    dp=4 x tp=2 mesh must reproduce the unsharded single-device update —
+    sharding is a placement decision, not a numerics decision. Catches the
+    regression class where a resharded kernel (or an XLA-inserted collective)
+    silently changes the reduction the loss/grads are computed with."""
+    import jax
+
+    import clap2diffusion_tpu.parallel.sharding as sharding
+    from clap2diffusion_tpu.core.config import apply_overrides
+    from clap2diffusion_tpu.parallel.sharding import (
+        make_train_mesh,
+        shard_batch,
+        shard_params,
+    )
+    from clap2diffusion_tpu.train.stages import TrainState, make_stage2_step
+    from tests.test_pipeline import tiny_config
+
+    cfg = apply_overrides(tiny_config(), ["train.stage2.grad_accum=1"])
+    from clap2diffusion_tpu.diffusion.pipeline import init_params
+
+    params = init_params(cfg, seed=0)
+    p2 = {"hierarchical": params["hierarchical"], "unet": params["unet"]}
+    step_fn, init_tx, _ = make_stage2_step(cfg)
+    lat = cfg.diffusion.image_size // 8
+    rng = np.random.default_rng(7)
+    batch_np = {
+        "clap": rng.normal(size=(8, cfg.condition.clap_dim)).astype(np.float32),
+        "latent": rng.normal(size=(8, lat, lat, 4)).astype(np.float32),
+        "text_ctx": rng.normal(
+            size=(8, 7, cfg.diffusion.unet.cross_attention_dim)
+        ).astype(np.float32),
+    }
+    key = jax.random.key(11)
+
+    def one_update(mesh):
+        tx = init_tx(p2)
+        state = TrainState.create(jax.tree.map(np.asarray, p2), tx)
+        if mesh is None:
+            batch = batch_np
+        else:
+            # the whole TrainState (params + mirrored adam moments) gets the
+            # same placement rule the trainer uses
+            state = shard_params(state, mesh)
+            batch = shard_batch(batch_np, mesh)
+        jstep = jax.jit(lambda s, b, r: step_fn(s, b, r, tx))
+        new_state, metrics = jstep(state, batch, key)
+        return (
+            jax.tree.map(np.asarray, new_state.params),
+            {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0},
+        )
+
+    ref_params, ref_metrics = one_update(None)
+
+    # tiny geometry has no >=2048-wide kernels; lower the TP threshold so
+    # the model axis actually shards something
+    monkeypatch.setattr(sharding, "TP_MIN_WIDTH", 48)
+    mesh = make_train_mesh(8, model_parallel=2)
+    sh_params, sh_metrics = one_update(mesh)
+
+    # losses agree to fp32 reduction-reassociation tolerance
+    for k in ref_metrics:
+        assert sh_metrics[k] == pytest.approx(ref_metrics[k], rel=1e-4, abs=1e-6), k
+    # every updated parameter agrees
+    ref_leaves = jax.tree_util.tree_flatten_with_path(ref_params)[0]
+    sh_leaves = dict(jax.tree_util.tree_flatten_with_path(sh_params)[0])
+    assert len(ref_leaves) == len(sh_leaves)
+    for path, leaf in ref_leaves:
+        np.testing.assert_allclose(
+            sh_leaves[path], leaf, rtol=2e-4, atol=1e-5,
+            err_msg=str(jax.tree_util.keystr(path)),
+        )
+
+
+@pytest.mark.slow
 def test_tp_serving_parity(eight_devices, monkeypatch):
     """Latency-mode serving TP: shard_pipeline_for_serving places wide
     kernels model-sharded, generate_sharded runs on the (data, model) mesh,
