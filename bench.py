@@ -6,7 +6,21 @@ Baseline: the reference's published ~2 s/image on an unspecified GPU
 (reference README.md:73). ``vs_baseline`` = baseline_seconds / our_p50
 (>1.0 means faster than the reference).
 
-Prints ONE JSON line. Extra diagnostics go to stderr.
+Prints ONE JSON line. Extra diagnostics go to stderr — including a
+decomposition of the session cold start (VERDICT r3 weak #2):
+
+  restore_host_s   orbax checkpoint -> host numpy (local disk, no tunnel)
+  upload_s         host -> TPU over the tunnel (~1.7 GiB bf16; bandwidth-
+                   bound, runs in a background thread)
+  aot_compile_s    XLA compile of the 50-step program from abstract avals,
+                   overlapped with the upload (neither needs the other);
+                   writes the persistent compile cache
+  warmup_s         first pipe.generate: trace + compile-cache hit
+                   (deserialize) + first execution
+
+The persistent compile cache lives in the REPO (.cache/jax/tpu), not /tmp:
+/tmp is wiped between driver sessions, the repo directory survives — so a
+later session deserializes this one's executables instead of recompiling.
 """
 
 from __future__ import annotations
@@ -14,17 +28,12 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-# Persistent compilation cache: the 50-step pipeline program is large; cache
-# hits cut repeat-bench compile time from minutes to seconds.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-
+REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_SECONDS = 2.0
 
 
@@ -32,24 +41,72 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _setup_compile_cache(jax):
+    cache = os.path.join(REPO, ".cache", "jax", "tpu")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    return cache
+
+
+def _aot_precompile(pipe, wav, text_ids, num_steps: int = 50):
+    """Compile the exact 50-step serving program from abstract avals only —
+    no parameter values needed, so it runs while the upload thread owns the
+    tunnel's bandwidth. The executable lands in the persistent compile
+    cache; the warmup call's trace then deserializes instead of compiling.
+    """
+    import jax
+
+    f32 = jax.ShapeDtypeStruct((), np.dtype(np.float32))
+    params_sds = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), pipe.params
+    )
+    # .lower reached through the bound method resolves on the underlying
+    # jit wrapper (method attribute access forwards to __func__), so self
+    # is passed explicitly as the static arg 0
+    lowered = type(pipe)._generate_jit.lower(
+        pipe,
+        params_sds,
+        jax.ShapeDtypeStruct((1, wav.shape[0]), np.dtype(np.int16)),
+        jax.ShapeDtypeStruct(text_ids.shape, np.dtype(np.int32)),
+        jax.ShapeDtypeStruct(text_ids.shape, np.dtype(np.int32)),
+        num_steps,             # (static)
+        f32,                   # guidance_scale
+        "hierarchical",        # model_type (static)
+        jax.ShapeDtypeStruct((), np.dtype(np.int32)),  # seed
+        1,                     # batch (static)
+        f32,                   # norm_target
+        f32,                   # temperature
+        "ddim",                # sampler (static)
+        0,                     # init_steps (static)
+        None,                  # init_image
+        None,                  # waveform2
+        None,                  # audio_mix
+        None,                  # mask
+        None,                  # seeds
+        f32,                   # guidance_rescale
+    )
+    lowered.compile()
+
+
 def main():
+    import jax
+
+    cache_dir = _setup_compile_cache(jax)
+    import jax.numpy as jnp
+
     from clap2diffusion_tpu.core.config import Config
     from clap2diffusion_tpu.diffusion.pipeline import (
         AudioToImagePipeline,
         cached_init_params,
+        params_cache_path,
+        restore_params_host,
     )
 
     cfg = Config()
     log(f"devices: {jax.devices()}")
-
-    t0 = time.time()
-    params = cached_init_params(
-        cfg, seed=0, dtype=jnp.bfloat16,
-        cache_dir=os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".cache", "params"),
-    )
-    pipe = AudioToImagePipeline(cfg, params=params)
-    log(f"init_params: {time.time() - t0:.1f}s")
+    log(f"compile cache: {cache_dir} "
+        f"({len(os.listdir(cache_dir))} entries)")
 
     rng = np.random.default_rng(0)
     # PCM16 input — what a real WAV corpus contains and what load_audio
@@ -60,10 +117,65 @@ def main():
     ).astype(np.int16)
     text_ids = rng.integers(0, 49_000, size=(1, 77)).astype(np.int32)
 
-    # Warmup / compile
+    t_session = time.time()
+    path = params_cache_path(
+        cfg, seed=0, dtype=jnp.bfloat16,
+        cache_dir=os.path.join(REPO, ".cache", "params"),
+    )
+    if path and os.path.exists(path):
+        # warm param cache: disk -> host, then overlap the tunnel upload
+        # (background thread) with the AOT compile (main thread)
+        t0 = time.time()
+        host_params = restore_params_host(path)
+        t_restore = time.time() - t0
+        log(f"restore_host: {t_restore:.1f}s "
+            f"(leaf type {type(jax.tree.leaves(host_params)[0]).__name__})")
+        pipe = AudioToImagePipeline(cfg, params=host_params)
+
+        result = {}
+
+        def upload():
+            t = time.time()
+            p = jax.device_put(host_params)
+            jax.block_until_ready(p)
+            # block_until_ready lies on the axon backend (see
+            # .claude/skills/verify); a tiny op + host fetch rides the same
+            # stream behind the queued transfers and forces a real sync
+            np.asarray(jax.jit(lambda: jnp.zeros(()))())
+            result["params"] = p
+            result["upload_s"] = time.time() - t
+
+        th = threading.Thread(target=upload)
+        th.start()
+        t0 = time.time()
+        try:
+            _aot_precompile(pipe, wav, text_ids)
+            log(f"aot_compile: {time.time() - t0:.1f}s (overlapped with upload)")
+        except Exception as e:  # non-fatal: warmup compiles the slow way
+            log(f"aot_compile FAILED after {time.time() - t0:.1f}s "
+                f"(non-fatal): {type(e).__name__}: {e}")
+        th.join()
+        pipe.params = result["params"]
+        pipe.compute_dtype = jax.tree.leaves(pipe.params["unet"])[0].dtype
+        log(f"upload: {result['upload_s']:.1f}s")
+    else:
+        # cold param cache (first session on this machine): jit-init all
+        # towers on device and persist them for every later session
+        t0 = time.time()
+        params = cached_init_params(
+            cfg, seed=0, dtype=jnp.bfloat16,
+            cache_dir=os.path.join(REPO, ".cache", "params"),
+        )
+        pipe = AudioToImagePipeline(cfg, params=params)
+        log(f"init_params (cache miss — init on device + save): "
+            f"{time.time() - t0:.1f}s")
+
+    # Warmup / first image: trace + compile-cache deserialize + execute
     t0 = time.time()
     img = pipe.generate(waveform=wav, text_ids=text_ids, seed=0)
-    log(f"compile+first run: {time.time() - t0:.1f}s, image {img.shape}")
+    log(f"warmup (first image): {time.time() - t0:.1f}s, image {img.shape}")
+    log(f"time-to-first-image (session start -> image): "
+        f"{time.time() - t_session:.1f}s")
 
     times = []
     for i in range(5):

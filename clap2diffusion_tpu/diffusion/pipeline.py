@@ -111,18 +111,14 @@ def init_params(cfg: Config, seed: int = 0, dtype=jnp.float32) -> Dict[str, Any]
     return params
 
 
-def cached_init_params(cfg: Config, seed: int = 0, dtype=jnp.float32,
-                       cache_dir: Optional[str] = None) -> Dict[str, Any]:
-    """init_params with an on-disk orbax cache.
-
-    Random init of the full SD stack jit-compiles six programs; on a remote
-    TPU that is minutes of compile per process. Benchmarks and tools set
-    ``C2D_PARAM_CACHE`` (or pass ``cache_dir``) to pay it once. The cache key
-    covers seed/dtype/geometry; anything else falls back to a fresh init.
-    """
+def params_cache_path(cfg: Config, seed: int = 0, dtype=jnp.float32,
+                      cache_dir: Optional[str] = None) -> Optional[str]:
+    """Deterministic on-disk location for a (geometry, seed, dtype) param
+    set — the key ``cached_init_params`` uses. None when no cache dir is
+    configured (``cache_dir`` arg or ``C2D_PARAM_CACHE``)."""
     cache_dir = cache_dir or os.environ.get("C2D_PARAM_CACHE")
     if not cache_dir:
-        return init_params(cfg, seed=seed, dtype=dtype)
+        return None
     import hashlib
     import json
 
@@ -132,7 +128,45 @@ def cached_init_params(cfg: Config, seed: int = 0, dtype=jnp.float32,
         json.dumps([to_dict(cfg), seed, str(jnp.dtype(dtype))],
                    sort_keys=True, default=str).encode()
     ).hexdigest()[:16]
-    path = os.path.join(os.path.abspath(cache_dir), f"params_{key}")
+    return os.path.join(os.path.abspath(cache_dir), f"params_{key}")
+
+
+def restore_params_host(path: str) -> Dict[str, Any]:
+    """Restore a ``save_pipeline`` checkpoint to HOST numpy arrays — no
+    device placement. Separating disk->host from host->device lets callers
+    overlap the device upload with XLA compilation (bench.py's cold-start
+    path: on a tunneled TPU the ~GiB upload and the 50-step-program compile
+    are each minutes, and neither needs the other)."""
+    import orbax.checkpoint as ocp
+
+    p = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    try:
+        # the default restore builds jax.Arrays on the DEFAULT device (the
+        # tunneled TPU on the bench host — the transfer this function
+        # exists to defer); request np.ndarray leaves explicitly
+        meta = ckptr.metadata(p).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+            dict(meta) if hasattr(meta, "keys") else meta,
+        )
+        return ckptr.restore(p, restore_args=restore_args)
+    finally:
+        ckptr.close()
+
+
+def cached_init_params(cfg: Config, seed: int = 0, dtype=jnp.float32,
+                       cache_dir: Optional[str] = None) -> Dict[str, Any]:
+    """init_params with an on-disk orbax cache.
+
+    Random init of the full SD stack jit-compiles six programs; on a remote
+    TPU that is minutes of compile per process. Benchmarks and tools set
+    ``C2D_PARAM_CACHE`` (or pass ``cache_dir``) to pay it once. The cache key
+    covers seed/dtype/geometry; anything else falls back to a fresh init.
+    """
+    path = params_cache_path(cfg, seed=seed, dtype=dtype, cache_dir=cache_dir)
+    if path is None:
+        return init_params(cfg, seed=seed, dtype=dtype)
     if os.path.exists(path):
         import orbax.checkpoint as ocp
 
@@ -622,15 +656,40 @@ class AudioToImagePipeline:
         per-image wall time (BENCH_NOTES.md), which a sequential
         ``generate`` loop pays serialized per image.
         """
+        for img, _ in self.generate_stream_timed(requests, depth=depth, **shared):
+            yield img
+
+    def generate_stream_timed(self, requests, *, depth: int = 2, **shared):
+        """``generate_stream`` that also yields per-request **service time**.
+
+        Yields ``(image, service_s)`` where ``service_s`` is the
+        dispatch->fetch wall time of THAT request — time in system,
+        including queueing behind the ``depth-1`` requests already in
+        flight. Note the distinction: under pipelining, the deltas
+        *between* yields measure aggregate throughput (the device is busy
+        with a neighbour while a request waits), not per-request latency —
+        callers wanting a throughput number should divide total wall time
+        by the image count instead of averaging inter-yield gaps.
+        """
+        import time
         from collections import deque
 
         in_flight: deque = deque()
+
+        def drain():
+            t_dispatch, fut = in_flight.popleft()
+            img = np.asarray(fut)  # blocks until fetched over the tunnel
+            return img, time.perf_counter() - t_dispatch
+
         for req in requests:
-            in_flight.append(self._dispatch_generate(**dict(shared, **req)))
+            in_flight.append(
+                (time.perf_counter(),
+                 self._dispatch_generate(**dict(shared, **req)))
+            )
             if len(in_flight) >= max(1, depth):
-                yield np.asarray(in_flight.popleft())
+                yield drain()
         while in_flight:
-            yield np.asarray(in_flight.popleft())
+            yield drain()
 
     # -- best-of-n reranked serving (beyond the reference surface) -----------
 
