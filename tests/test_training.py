@@ -525,3 +525,123 @@ def test_three_stage_chain_to_inference(tmp_path, tiny_params):
         waveform=wav, num_steps=2, seed=3
     )
     assert np.abs(img.astype(int) - ref.astype(int)).max() > 0
+
+
+@pytest.mark.slow
+def test_stage2_conditioning_efficacy_end_to_end():
+    """The injection branch carries USABLE gradient signal end-to-end
+    (VERDICT r3 next #4) — not merely that steps execute. Task: the CLAP
+    embedding determines which of two latent patterns is being denoised.
+    The UNet trunk is FROZEN in stage 2 (only decomposer / audio_inject /
+    LoRA train, mirroring the reference's stage-2 trainable set,
+    reference scripts/train_stage2.py:67-91), so the frozen trunk cannot
+    grow new circuits to classify the pattern from the noisy latent — the
+    trainable audio->decomposer->router->cross-attn injection path is the
+    cheap road to the class bit, and exploiting it is exactly the signal
+    this test demands. Asserted, all on deterministic fixed keys:
+      (a) val diffusion loss descends materially from init;
+      (b) the trained weights beat BOTH audio-ablations of themselves —
+          class-swapped and zeroed CLAP input (paired on identical
+          weights, so the margin is purely the value of the audio signal);
+      (c) the swap gap GROWS over training — the optimizer is amplifying
+          the injection path, not silencing it (the failure mode a dead
+          branch produces).
+    Design notes, both measured while building this test: (1) a few
+    hundred steps are NOT enough for the gap to emerge at this geometry
+    (0.07% at step 400, 2.4% at 1200, ~4.9% at 2000) — the branch needs
+    ~2k steps to be loss-bearing, hence the step count. (2) A separately
+    TRAINED audio-zeroed run is NOT a sound ablation here, because it is
+    not signal-starved: with constant context, LoRA on the cross-attn
+    q/out kernels can classify the pattern straight from the noisy latent
+    (measured 0.7377 zero-trained vs 0.7470 conditioned — the zeroed run
+    solves the task through the x_t route, a different, also-legitimate
+    road). Holding the WEIGHTS fixed and ablating the INPUT, as (b) does,
+    is the comparison that isolates the injection path. Reference
+    contract: the loop the reference stubbed
+    (reference scripts/train_stage2.py:93-157)."""
+    from clap2diffusion_tpu.core.config import apply_overrides
+    from clap2diffusion_tpu.train.lora import init_lora
+    from tests.test_pipeline import tiny_config
+
+    cfg = apply_overrides(tiny_config(), [
+        "train.stage2.grad_accum=1",
+        "train.stage2.warmup_steps=0",
+        "train.stage2.lr=0.01",
+        "train.stage2.use_ema=false",
+        "train.stage2.lora_rank=4",
+    ])
+    params = init_params(cfg, seed=0)
+    lat = cfg.diffusion.image_size // 8
+    rng = np.random.default_rng(11)
+
+    # two classes: the clap vector tells the model which latent pattern the
+    # sample carries. Pattern scale 2 keeps the class-dependent part of the
+    # eps target well above the 0.05 within-class jitter.
+    clap_vecs = rng.normal(size=(2, cfg.condition.clap_dim)).astype(np.float32)
+    clap_vecs /= np.linalg.norm(clap_vecs, axis=-1, keepdims=True)
+    patterns = 2.0 * rng.normal(size=(2, lat, lat, 4)).astype(np.float32)
+    text_ctx_row = rng.normal(
+        size=(1, 7, cfg.diffusion.unet.cross_attention_dim)
+    ).astype(np.float32)
+
+    def make_batch(n, seed, clap="correct"):
+        r = np.random.default_rng(seed)
+        cls = np.arange(n) % 2
+        cl = {"correct": clap_vecs[cls],
+              "swap": clap_vecs[1 - cls],
+              "zero": np.zeros((n, cfg.condition.clap_dim), np.float32)}[clap]
+        return {
+            "clap": cl,
+            "latent": (patterns[cls]
+                       + 0.05 * r.normal(size=(n, lat, lat, 4))
+                       ).astype(np.float32),
+            "text_ctx": np.repeat(text_ctx_row, n, axis=0),
+        }
+
+    from clap2diffusion_tpu.train.stages import make_stage2_step
+
+    step_fn, init_tx, _ = make_stage2_step(cfg)
+
+    def fresh_state():
+        p2 = {"hierarchical": jax.tree.map(np.copy, params["hierarchical"]),
+              "unet": jax.tree.map(np.copy, params["unet"]),
+              "lora": init_lora(params["unet"], 4, jax.random.key(1))}
+        tx = init_tx(p2)
+        return TrainState.create(p2, tx), tx
+
+    state, tx = fresh_state()
+    jstep = jax.jit(lambda s, b, r: step_fn(s, b, r, tx))
+
+    def val_loss(st, clap="correct"):
+        # the step evaluates the loss at the CURRENT params before
+        # updating — call it on val batches and discard the update;
+        # averaged over 8 fixed noising draws for a stable estimate
+        tot = 0.0
+        for k in range(8):
+            b = make_batch(8, seed=22, clap=clap)
+            _, m = jstep(st, b, jax.random.key(1000 + k))
+            tot += float(m["diffusion"])
+        return tot / 8
+
+    train_batch = make_batch(16, seed=21)
+    cond_init = val_loss(state)
+    key = jax.random.key(7)
+    gap_at = {}
+    for i in range(2000):
+        state, _ = jstep(state, train_batch, jax.random.fold_in(key, i))
+        if i + 1 in (400, 2000):
+            gap_at[i + 1] = val_loss(state, "swap") - val_loss(state)
+    cond_final = val_loss(state)
+
+    # (a) descends materially from init (measured ~0.75 vs 1.32)
+    assert cond_final < 0.8 * cond_init, (cond_init, cond_final)
+    # (b) paired ablations on the SAME weights: wrong-class audio costs
+    # materially (measured ~4–5%; threshold 1.5%); zeroed audio costs too,
+    # though less — a zero vector yields "average" tokens, which mislead
+    # less than wrong-class tokens do (measured ~1.2%; threshold 0.5%)
+    swap_final = cond_final + gap_at[2000]
+    zero_final_eval = val_loss(state, "zero")
+    assert cond_final < 0.985 * swap_final, (cond_final, swap_final)
+    assert cond_final < 0.995 * zero_final_eval, (cond_final, zero_final_eval)
+    # (c) training amplified the audio path (gap grew ~0.07% -> ~4.9%)
+    assert gap_at[2000] > 2.0 * max(gap_at[400], 0.0), gap_at
