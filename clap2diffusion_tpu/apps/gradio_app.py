@@ -127,7 +127,9 @@ def launch(cfg: Optional[Config] = None, host: str = "0.0.0.0", port: int = 7860
                     list(_MODEL_TYPES), value="Hierarchical V4", label="Model"
                 )
                 norm = gr.Slider(10, 200, value=60, label="Audio norm target")
-                steps = gr.Slider(10, 100, value=50, step=1, label="Steps")
+                # 20-100 matches the reference app's range exactly
+                # (reference app/gradio_app.py:133-136)
+                steps = gr.Slider(20, 100, value=50, step=1, label="Steps")
                 sampler = gr.Dropdown(
                     ["ddim", "dpmpp_2m", "dpmpp_2m_karras", "euler_a"],
                     value="ddim",

@@ -276,6 +276,13 @@ def test_dp_tp_update_matches_unsharded(eight_devices, monkeypatch):
             # the whole TrainState (params + mirrored adam moments) gets the
             # same placement rule the trainer uses
             state = shard_params(state, mesh)
+            # guard the test's own premise: if param_spec's rule drifts and
+            # the model axis shards nothing, this silently degrades to a
+            # DP-only parity check (advisor r3)
+            assert any(
+                "model" in str(leaf.sharding.spec)
+                for leaf in jax.tree.leaves(state.params)
+            ), "model axis sharded nothing — TP parity not exercised"
             batch = shard_batch(batch_np, mesh)
         jstep = jax.jit(lambda s, b, r: step_fn(s, b, r, tx))
         new_state, metrics = jstep(state, batch, key)
