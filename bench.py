@@ -135,15 +135,19 @@ def main():
         result = {}
 
         def upload():
-            t = time.time()
-            p = jax.device_put(host_params)
-            jax.block_until_ready(p)
-            # block_until_ready lies on the axon backend (see
-            # .claude/skills/verify); a tiny op + host fetch rides the same
-            # stream behind the queued transfers and forces a real sync
-            np.asarray(jax.jit(lambda: jnp.zeros(()))())
-            result["params"] = p
-            result["upload_s"] = time.time() - t
+            try:
+                t = time.time()
+                p = jax.device_put(host_params)
+                jax.block_until_ready(p)
+                # block_until_ready lies on the axon backend (see
+                # .claude/skills/verify); a tiny op + host fetch rides the
+                # same stream behind the queued transfers and forces a real
+                # sync
+                np.asarray(jax.jit(lambda: jnp.zeros(()))())
+                result["params"] = p
+                result["upload_s"] = time.time() - t
+            except Exception as e:  # surfaced on the main thread post-join
+                result["error"] = e
 
         th = threading.Thread(target=upload)
         th.start()
@@ -155,6 +159,8 @@ def main():
             log(f"aot_compile FAILED after {time.time() - t0:.1f}s "
                 f"(non-fatal): {type(e).__name__}: {e}")
         th.join()
+        if "error" in result:
+            raise RuntimeError("param upload thread failed") from result["error"]
         pipe.params = result["params"]
         pipe.compute_dtype = jax.tree.leaves(pipe.params["unet"])[0].dtype
         log(f"upload: {result['upload_s']:.1f}s")

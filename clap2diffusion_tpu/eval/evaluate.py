@@ -59,6 +59,7 @@ def run_evaluation(
     sampler: Optional[str] = None,
     shard: bool = False,
     fid_variant: str = "torchvision",
+    clap_batch: int = 32,
 ) -> Dict:
     import jax
     import jax.numpy as jnp
@@ -108,7 +109,6 @@ def run_evaluation(
     # projection) are loaded into the params dict.
     clip_vision_apply = None
     if params and "clip_vision" in params and "clip_text_projection" in params:
-        import jax
         from clap2diffusion_tpu.models.clip_vision import (
             CLIPVisionEncoder,
             clip_text_features,
@@ -132,8 +132,6 @@ def run_evaluation(
     # variant with matching weights; the summary stamps which one ran.
     inception_apply = None
     if params and "inception_v3" in params:
-        import jax
-
         from clap2diffusion_tpu.models.inception_v3 import InceptionV3
 
         _inc = InceptionV3(variant=fid_variant)
@@ -154,7 +152,6 @@ def run_evaluation(
         # Noise uses the per-lane-seed derivation (every lane seeded with
         # the eval seed), so results are deterministic and placement-
         # independent but not bit-identical to the serial scalar-seed path.
-        import jax
 
         from clap2diffusion_tpu.core.mesh import make_mesh
         from clap2diffusion_tpu.diffusion.pipeline import generate_sharded
@@ -206,18 +203,31 @@ def run_evaluation(
             service_times.append(dt)
     generation_wall_s = time.perf_counter() - wall_start
 
-    # batched CLAP encodes: ONE audio-tower call + ONE text-tower call for
-    # the whole eval set (per-sample calls would pay n tunnel round-trips)
+    # batched CLAP encodes: fixed-size chunks instead of per-sample calls
+    # (n tunnel round-trips) or one whole-set batch (a FID-scale n=5000 run
+    # would stack ~9 GiB of waveforms host-side and OOM the chip). Tail
+    # chunks pad to the full size so every chunk reuses one compiled
+    # program, then slice the padding away.
     if n:
-        clap_audio_emb = np.asarray(pipe.encode_audio(
-            jnp.asarray(np.stack([item["audio"] for item in items]))
-        ))
-        rt = rtok([item["caption"] for item in items])
-        clap_text_emb = np.asarray(_text_jit(
-            clap_text_params,
-            jnp.asarray(rt["input_ids"]),
-            jnp.asarray(rt["attention_mask"]),
-        ))
+        chunk_n = min(max(1, clap_batch), n)
+        audio_parts, text_parts = [], []
+        for i in range(0, n, chunk_n):
+            chunk = items[i : i + chunk_n]
+            pad = chunk_n - len(chunk)
+            wav = np.stack([c["audio"] for c in chunk]
+                           + [chunk[-1]["audio"]] * pad)
+            audio_parts.append(
+                np.asarray(pipe.encode_audio(jnp.asarray(wav)))[: len(chunk)]
+            )
+            rt = rtok([c["caption"] for c in chunk]
+                      + [chunk[-1]["caption"]] * pad)
+            text_parts.append(np.asarray(_text_jit(
+                clap_text_params,
+                jnp.asarray(rt["input_ids"]),
+                jnp.asarray(rt["attention_mask"]),
+            ))[: len(chunk)])
+        clap_audio_emb = np.concatenate(audio_parts)
+        clap_text_emb = np.concatenate(text_parts)
 
     for i, (item, img, dt) in enumerate(zip(items, images, service_times)):
         align = M.audio_text_alignment(
@@ -292,6 +302,12 @@ def run_evaluation(
                 preprocess_images_inception,
             )
 
+            # provenance: which pooling semantics produced every
+            # Inception-tower metric below (fid/kid AND inception_score) —
+            # "pytorch_fid" numbers are literature-comparable (with the
+            # TF-ported weights), "torchvision" numbers are not
+            summary["fid_variant"] = fid_variant
+
             pool3_fn = lambda imgs: np.asarray(  # noqa: E731
                 inception_apply(
                     jnp.asarray(preprocess_images_inception(imgs))
@@ -307,10 +323,6 @@ def run_evaluation(
                                            batch_size=8)
                 summary["fid"] = M.frechet_distance(f_gen, f_ref)
                 summary["kid"] = M.kid_from_features(f_gen, f_ref, seed=seed)
-                # provenance: which pooling semantics produced fid/kid —
-                # "pytorch_fid" numbers are literature-comparable (with the
-                # TF-ported weights), "torchvision" numbers are not
-                summary["fid_variant"] = fid_variant
             # Real Inception Score over the generated set's class posteriors
             logits_fn = lambda imgs: np.asarray(  # noqa: E731
                 inception_apply(

@@ -235,6 +235,30 @@ def test_run_evaluation_audio_text_alignment_real(tmp_path):
     assert res3["summary"]["audio_text_alignment"]["std"] > 0
 
 
+def test_run_evaluation_chunked_clap_encode(tmp_path):
+    """The batched CLAP encode runs in fixed-size chunks (unbounded
+    whole-set batches OOM at FID-scale n); tail chunks pad to the full
+    chunk size and slice back. Chunked (clap_batch=2 over n=3, with a
+    padded tail) must match single-chunk (clap_batch=8) to float noise
+    (per-shape XLA reduction-order rounding is the only allowed delta)."""
+    import numpy as np
+    from clap2diffusion_tpu.data.fixtures import make_fixture_dataset
+    from clap2diffusion_tpu.eval.evaluate import run_evaluation
+    from tests.test_pipeline import tiny_config
+
+    cfg = tiny_config()
+    root = str(tmp_path / "ds")
+    make_fixture_dataset(root, n_train=1, n_val=1, n_test=3, duration_s=0.5,
+                         latent_hw=8)
+    kw = dict(data_root=root, max_samples=3, num_steps=2, seed=42)
+    chunked = run_evaluation(cfg, clap_batch=2, **kw)
+    whole = run_evaluation(cfg, clap_batch=8, **kw)
+    a = [s["audio_text_alignment"] for s in chunked["samples"]]
+    b = [s["audio_text_alignment"] for s in whole["samples"]]
+    assert len(a) == 3
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_gradio_build_generator(tmp_path):
     """The gradio click handler (testable without gradio itself): full knob

@@ -80,11 +80,19 @@ def main() -> int:
         sd = load_sd(args.clap)
         params["clap_audio"] = convert_clap_audio(sd, cfg.clap.audio)
         converted.append("clap_audio")
-        # the same HF ClapModel dict carries the text tower — convert it too
-        # so the evaluator's audio_text_alignment is checkpoint-faithful
-        # (eval/evaluate.py stamps clap_text_random_init otherwise)
-        params["clap_text"] = convert_clap_text(sd, cfg.clap.text)
-        converted.append("clap_text")
+        # the full HF ClapModel dict also carries the text tower — convert
+        # it too so the evaluator's audio_text_alignment is checkpoint-
+        # faithful (eval/evaluate.py stamps clap_text_random_init
+        # otherwise). Audio-only HTSAT dumps lack these keys; keep
+        # accepting them (audio tower converts, text stays random-init).
+        if ("text_model.embeddings.word_embeddings.weight" in sd
+                or "embeddings.word_embeddings.weight" in sd):
+            params["clap_text"] = convert_clap_text(sd, cfg.clap.text)
+            converted.append("clap_text")
+        else:
+            print("note: --clap dict has no text tower keys; clap_text "
+                  "left at random init (audio_text_alignment will be "
+                  "stamped clap_text_random_init)")
     if args.sd_unet:
         from clap2diffusion_tpu.models.convert import convert_sd_unet
 
