@@ -133,11 +133,29 @@ def main():
         pipe = AudioToImagePipeline(cfg, params=host_params)
 
         result = {}
+        # C2D_INT8_WIRE=1: halve the tunnel bytes (the TTFI binding
+        # constraint) — int8+scales on the wire, expanded to bf16 on
+        # device; numerics drift bounded + tested (utils/wire.py)
+        int8_wire = os.environ.get("C2D_INT8_WIRE") == "1"
+        if int8_wire:
+            from clap2diffusion_tpu.utils.wire import (
+                dequantize_wire, quantize_wire,
+            )
+
+            t0 = time.time()
+            wire_tree, wire_dtypes, wstats = quantize_wire(host_params)
+            log(f"quantize_wire (host): {time.time() - t0:.1f}s, "
+                f"{wstats['raw_bytes'] / 2**30:.2f} -> "
+                f"{wstats['wire_bytes'] / 2**30:.2f} GiB "
+                f"({int(wstats['quantized_leaves'])} leaves quantized)")
 
         def upload():
             try:
                 t = time.time()
-                p = jax.device_put(host_params)
+                if int8_wire:
+                    p = dequantize_wire(jax.device_put(wire_tree), wire_dtypes)
+                else:
+                    p = jax.device_put(host_params)
                 jax.block_until_ready(p)
                 # block_until_ready lies on the axon backend (see
                 # .claude/skills/verify); a tiny op + host fetch rides the

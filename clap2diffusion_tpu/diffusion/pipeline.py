@@ -820,11 +820,19 @@ def load_pipeline(cfg: Config, path: str, dtype=None) -> "AudioToImagePipeline":
     converter may have added (clip_vision / clip_text_projection /
     inception_v3) survive the round-trip; the six core towers are then
     checked for presence explicitly.
+
+    ``C2D_INT8_WIRE=1``: restore to host numpy and ride the int8 wire
+    format for the host->device upload (utils/wire.py) — ~2x fewer tunnel
+    bytes on a remote-TPU host, bounded+tested weight rounding.
     """
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    params = dict(ckptr.restore(os.path.abspath(path)))
+    int8_wire = os.environ.get("C2D_INT8_WIRE") == "1"
+    if int8_wire:
+        params = dict(restore_params_host(path))
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        params = dict(ckptr.restore(os.path.abspath(path)))
     required = {"clap_audio", "clip_text", "hierarchical", "adapter", "unet", "vae"}
     missing = required - set(params)
     if missing:
@@ -847,6 +855,10 @@ def load_pipeline(cfg: Config, path: str, dtype=None) -> "AudioToImagePipeline":
             )
     if dtype is not None:
         params = jax.tree.map(lambda x: x.astype(dtype), params)
+    if int8_wire:
+        from clap2diffusion_tpu.utils.wire import upload_params
+
+        params = upload_params(params, int8_wire=True)
     return AudioToImagePipeline(cfg, params=params)
 
 

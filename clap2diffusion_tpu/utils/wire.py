@@ -1,0 +1,129 @@
+"""Opt-in int8 *wire format* for the host->device parameter upload
+(``C2D_INT8_WIRE=1``).
+
+On a tunneled TPU (this repo's axon bench host) the session cold start is
+bound by uploading ~1.7 GiB of bf16 parameters over a ~10-25 MB/s tunnel
+(BENCH_NOTES.md "Session cold start"). This module halves the bytes ON THE
+WIRE only: large weight leaves are quantized on the host to int8 with
+per-output-channel float32 scales, uploaded, and dequantized back to the
+compute dtype on device by one tiny jitted program. Compute and HBM layout
+after arrival are *identical* to the default path (bf16 everywhere); only
+the transferred representation changes.
+
+This is NOT ``ops/quant.py`` (the measured-and-rejected W8A8 serving path):
+no activation ever sees int8 here, and the MXU math is untouched. The cost
+is a one-time weight rounding error bounded per element by ``s/2`` where
+``s = absmax/127`` per output channel (symmetric round-to-nearest over
+[-127, 127]), i.e. <=0.4% of each channel's largest element. The frozen
+image golden pins the default path; this mode is opt-in because the
+rounding is a (small, tested) numerics change.
+
+Eligibility: floating-point leaves with ``ndim >= 2`` and
+``size >= min_size`` (default 64 Ki elements). Biases, norm scales and
+other small/1-D leaves ride the wire untouched — they are a rounding
+error of the byte count and disproportionately numerics-sensitive.
+
+No reference counterpart: the reference loads torch weights from local
+disk (reference scripts/inference.py:21-60); a remote-accelerator wire
+format is a TPU-serving concern the reference never has.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Leaves smaller than this (elements) ride the wire in their native dtype.
+MIN_WIRE_QUANT_SIZE = 1 << 16
+
+_Q_KEYS = frozenset({"q8", "s"})
+
+
+def _is_q8(leaf: Any) -> bool:
+    return isinstance(leaf, dict) and set(leaf.keys()) == _Q_KEYS
+
+
+def quantize_wire(
+    host_params: Any, min_size: int = MIN_WIRE_QUANT_SIZE
+) -> Tuple[Any, Any, Dict[str, float]]:
+    """Host-side: replace eligible leaves with ``{"q8", "s"}`` payload dicts
+    (int8 values + per-last-axis float32 scales). Returns
+    ``(wire_tree, dtypes, stats)``: ``wire_tree`` holds only arrays (safe
+    for ``jax.device_put``), ``dtypes`` is a parallel tree of original
+    dtype names for quantized leaves (None elsewhere), ``stats`` reports
+    wire bytes before/after and leaf counts."""
+    raw_bytes = 0
+    wire_bytes = 0
+    n_q = 0
+    n_raw = 0
+
+    def q(x: Any) -> Any:
+        nonlocal raw_bytes, wire_bytes, n_q, n_raw
+        x = np.asarray(x)
+        raw_bytes += x.nbytes
+        if (
+            x.ndim < 2
+            or x.size < min_size
+            or not jnp.issubdtype(x.dtype, jnp.floating)
+        ):
+            n_raw += 1
+            wire_bytes += x.nbytes
+            return x
+        f = x.astype(np.float32)
+        # per-output-channel: one scale per index of the LAST axis (Dense
+        # kernels are [in, out], conv kernels HWIO — out is last either way)
+        s = np.max(np.abs(f), axis=tuple(range(f.ndim - 1))) / 127.0
+        s = np.maximum(s, np.finfo(np.float32).tiny).astype(np.float32)
+        q8 = np.clip(np.rint(f / s), -127, 127).astype(np.int8)
+        n_q += 1
+        wire_bytes += q8.nbytes + s.nbytes
+        return {"q8": q8, "s": s}
+
+    wire = jax.tree.map(q, host_params)
+    dtypes = jax.tree.map(lambda l: None, host_params)
+    dtypes = jax.tree.map(
+        lambda w, x: str(np.asarray(x).dtype) if _is_q8(w) else None,
+        wire,
+        host_params,
+        is_leaf=_is_q8,
+    )
+    return wire, dtypes, {
+        "raw_bytes": float(raw_bytes),
+        "wire_bytes": float(wire_bytes),
+        "quantized_leaves": float(n_q),
+        "raw_leaves": float(n_raw),
+    }
+
+
+def dequantize_wire(wire_tree: Any, dtypes: Any) -> Any:
+    """Expand a ``quantize_wire`` payload (host or device) back to the
+    original parameter tree. One jitted elementwise program; raw leaves
+    pass through unchanged."""
+
+    def run(w):
+        return jax.tree.map(
+            lambda leaf, dt: (
+                (leaf["q8"].astype(jnp.float32) * leaf["s"]).astype(jnp.dtype(dt))
+                if dt is not None
+                else leaf
+            ),
+            w,
+            dtypes,
+            is_leaf=_is_q8,
+        )
+
+    return jax.jit(run)(wire_tree)
+
+
+def upload_params(host_params: Any, int8_wire: bool = False) -> Any:
+    """host numpy tree -> device tree. With ``int8_wire`` the transfer rides
+    the int8 payload (~2x fewer tunnel bytes) and is expanded on device;
+    otherwise a plain ``jax.device_put``. Either way the returned tree has
+    the original dtypes/shapes."""
+    if not int8_wire:
+        return jax.device_put(host_params)
+    wire, dtypes, _ = quantize_wire(host_params)
+    return dequantize_wire(jax.device_put(wire), dtypes)

@@ -1,0 +1,147 @@
+"""int8 wire format for the parameter upload (utils/wire.py).
+
+Pins: (a) the per-channel round-trip error bound, (b) small/1-D/integer
+leaves ride the wire bit-exact, (c) dtypes and shapes survive the round
+trip, (d) the byte accounting halves the wire for an all-big-weights tree,
+(e) at tiny pipeline geometry the end-to-end image drift from wire
+quantization is bounded (slow tier).
+
+No reference counterpart (the reference loads local torch weights,
+reference scripts/inference.py:21-60); this is the TPU-serving cold-start
+path of BENCH_NOTES.md "Session cold start".
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clap2diffusion_tpu.utils.wire import (
+    dequantize_wire,
+    quantize_wire,
+    upload_params,
+)
+
+
+def _tree(seed: int = 0):
+    rng = np.random.default_rng(seed)
+    return {
+        "dense": {"kernel": rng.normal(size=(256, 512)).astype(np.float32) * 0.2,
+                  "bias": rng.normal(size=(512,)).astype(np.float32)},
+        "conv": {"kernel": rng.normal(size=(3, 3, 96, 128)).astype(
+            jnp.bfloat16)},
+        "small": rng.normal(size=(8, 8)).astype(np.float32),
+        "ids": np.arange(70_000, dtype=np.int32).reshape(700, 100),
+    }
+
+
+def test_roundtrip_error_bound_and_raw_passthrough():
+    params = _tree()
+    wire, dtypes, stats = quantize_wire(params, min_size=1 << 16)
+    out = jax.tree.map(np.asarray, dequantize_wire(wire, dtypes))
+
+    # eligible: dense/kernel (131k f32) and conv/kernel (110k bf16)
+    assert stats["quantized_leaves"] == 2
+    assert stats["raw_leaves"] == 3
+
+    x = params["dense"]["kernel"]
+    s = np.max(np.abs(x), axis=0) / 127.0
+    err = np.abs(out["dense"]["kernel"] - x)
+    assert np.all(err <= s[None, :] / 2 + 1e-7), "per-channel bound violated"
+
+    # bf16 leaf: quantize bound s/2 plus the bf16 cast's half-ulp, which at
+    # the channel max (|q*s| <= 127s) is <= 127s * 2^-8 ~= s/2 -> total <= s
+    xc = np.asarray(params["conv"]["kernel"], np.float32)
+    sc = np.max(np.abs(xc), axis=(0, 1, 2)) / 127.0
+    errc = np.abs(np.asarray(out["conv"]["kernel"], np.float32) - xc)
+    assert np.all(errc <= sc + 1e-6)
+
+    # ineligible leaves: bit-exact, never quantized
+    np.testing.assert_array_equal(out["dense"]["bias"], params["dense"]["bias"])
+    np.testing.assert_array_equal(out["small"], params["small"])
+    np.testing.assert_array_equal(out["ids"], params["ids"])
+
+    # dtype/shape preservation
+    same = jax.tree.map(
+        lambda a, b: (np.asarray(a).dtype, np.asarray(a).shape)
+        == (np.asarray(b).dtype, np.asarray(b).shape),
+        params, out,
+    )
+    assert all(jax.tree.leaves(same))
+
+
+def test_wire_bytes_shrink():
+    params = _tree()
+    _, _, stats = quantize_wire(params, min_size=1 << 16)
+    big = (256 * 512) * 4 + (3 * 3 * 96 * 128) * 2
+    saved = stats["raw_bytes"] - stats["wire_bytes"]
+    # f32 leaf shrinks 4x, bf16 leaf 2x (minus the float32 scales)
+    expect = (256 * 512) * 3 + (3 * 3 * 96 * 128) * 1 - (512 + 128) * 4
+    assert saved == expect, (stats, big)
+
+
+def test_upload_params_matches_dequant_and_default_is_exact():
+    params = _tree(1)
+    exact = upload_params(params, int8_wire=False)
+    same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)), exact, params
+    )
+    assert all(jax.tree.leaves(same))
+
+    via_upload = upload_params(params, int8_wire=True)
+    wire, dtypes, _ = quantize_wire(params)
+    direct = dequantize_wire(jax.device_put(wire), dtypes)
+    same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        via_upload, direct,
+    )
+    assert all(jax.tree.leaves(same))
+
+
+def test_zero_and_tiny_channels_are_safe():
+    x = np.zeros((300, 300), np.float32)
+    x[:, 0] = 1e-30  # denormal-scale channel
+    wire, dtypes, stats = quantize_wire({"k": x}, min_size=1)
+    out = np.asarray(dequantize_wire(wire, dtypes)["k"])
+    assert np.all(np.isfinite(out))
+    assert np.all(out[:, 1:] == 0.0)
+
+
+@pytest.mark.slow
+def test_tiny_pipeline_image_drift_bounded(tmp_path, monkeypatch):
+    from tests.test_pipeline import tiny_config
+    from clap2diffusion_tpu.diffusion.pipeline import (
+        AudioToImagePipeline,
+        load_pipeline,
+        save_pipeline,
+    )
+
+    cfg = tiny_config()
+    pipe = AudioToImagePipeline(cfg, seed=0)
+    host = jax.tree.map(np.asarray, pipe.params)
+    wav = (np.random.default_rng(0).normal(
+        size=cfg.clap.frontend.num_samples) * 0.1).astype(np.float32)
+    ids = np.ones((1, 7), np.int32)
+
+    ref = pipe.generate(waveform=wav, text_ids=ids, seed=0)
+    pipe.params = upload_params(host, int8_wire=True)
+    q = pipe.generate(waveform=wav, text_ids=ids, seed=0)
+
+    assert q.shape == ref.shape and q.dtype == ref.dtype
+    drift = np.abs(q.astype(np.int32) - ref.astype(np.int32))
+    # <=0.4%-per-weight rounding through a 3-step tiny pipeline: images
+    # must stay visually identical (uint8 scale)
+    assert float(drift.mean()) < 8.0, float(drift.mean())
+
+    # load_pipeline honors C2D_INT8_WIRE=1: the restored tree must equal
+    # the wire round-trip of the saved params exactly
+    path = str(tmp_path / "pipe_ckpt")
+    save_pipeline(path, host)
+    monkeypatch.setenv("C2D_INT8_WIRE", "1")
+    loaded = load_pipeline(cfg, path)
+    same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        loaded.params,
+        upload_params(host, int8_wire=True),
+    )
+    assert all(jax.tree.leaves(same))
