@@ -30,6 +30,7 @@ format is a TPU-serving concern the reference never has.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -116,6 +117,122 @@ def dequantize_wire(wire_tree: Any, dtypes: Any) -> Any:
         )
 
     return jax.jit(run)(wire_tree)
+
+
+def wire_avals(wire_tree: Any, dtypes: Any) -> Any:
+    """Abstract (shape, dtype) tree of the EXPANDED parameters a wire
+    payload will dequantize to — lets AOT compilation start from a wire
+    cache without ever materializing the fp tree on host."""
+    return jax.tree.map(
+        lambda leaf, dt: (
+            jax.ShapeDtypeStruct(leaf["q8"].shape, np.dtype(dt))
+            if dt is not None
+            else jax.ShapeDtypeStruct(np.shape(leaf), np.asarray(leaf).dtype)
+        ),
+        wire_tree,
+        dtypes,
+        is_leaf=_is_q8,
+    )
+
+
+def _flatten(tree: Any):
+    flat = {}
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                assert "/" not in str(k), f"param name {k!r} contains '/'"
+                rec(prefix + (str(k),), v)
+        else:
+            flat["/".join(prefix)] = np.asarray(node)
+
+    rec((), tree)
+    return flat
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_wire_cache(path: str, wire_tree: Any, dtypes: Any) -> None:
+    """Persist a quantized wire payload to ``path`` (.npz + .json sidecar),
+    so later sessions skip both the fp restore (2x the disk bytes) and the
+    host-side quantization pass. Written atomically (tmp + rename)."""
+    import json
+
+    flat = _flatten(wire_tree)
+    meta = {
+        # npz drops non-native dtype names (bf16 comes back as raw V2):
+        # record every leaf's dtype for a view-cast on load
+        "leaf_dtypes": {k: str(v.dtype) for k, v in flat.items()},
+        # dequant targets: the original dtype of each quantized leaf
+        "dequant_dtypes": {
+            "/".join(kp): dt
+            for kp, dt in _flatten_dtypes(dtypes).items()
+            if dt is not None
+        },
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+    with open(path + ".json.tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(path + ".json.tmp", path + ".json")
+
+
+def _flatten_dtypes(dtypes: Any) -> Dict[tuple, Any]:
+    flat: Dict[tuple, Any] = {}
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(prefix + (str(k),), v)
+        else:
+            flat[prefix] = node
+
+    rec((), dtypes)
+    return flat
+
+
+def load_wire_cache(path: str) -> Tuple[Any, Any]:
+    """Inverse of ``save_wire_cache``: returns ``(wire_tree, dtypes)``
+    ready for ``jax.device_put`` + ``dequantize_wire``."""
+    import json
+
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    data = np.load(path)
+    flat = {}
+    for k in data.files:
+        v = data[k]
+        want = meta["leaf_dtypes"][k]
+        if str(v.dtype) != want:
+            v = v.view(np.dtype(want))
+        flat[k] = v
+    wire = _unflatten(flat)
+    flat_d = meta["dequant_dtypes"]
+
+    def fill(prefix, node):
+        out = {}
+        for k, v in node.items():
+            key = prefix + (str(k),)
+            if _is_q8(v):
+                out[k] = flat_d["/".join(key)]
+            elif isinstance(v, dict):
+                out[k] = fill(key, v)
+            else:
+                out[k] = None
+        return out
+
+    return wire, fill((), wire)
 
 
 def upload_params(host_params: Any, int8_wire: bool = False) -> Any:
