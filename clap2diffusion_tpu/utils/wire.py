@@ -44,7 +44,15 @@ _Q_KEYS = frozenset({"q8", "s"})
 
 
 def _is_q8(leaf: Any) -> bool:
-    return isinstance(leaf, dict) and set(leaf.keys()) == _Q_KEYS
+    # keys alone could collide with a genuine parameter subtree named
+    # {'q8','s'}; require the payload dtypes too (int8 values, float
+    # scales) so a real param subtree is never mis-expanded
+    return (
+        isinstance(leaf, dict)
+        and set(leaf.keys()) == _Q_KEYS
+        and getattr(leaf["q8"], "dtype", None) == np.int8
+        and jnp.issubdtype(getattr(leaf["s"], "dtype", np.int8), jnp.floating)
+    )
 
 
 def quantize_wire(
@@ -84,7 +92,6 @@ def quantize_wire(
         return {"q8": q8, "s": s}
 
     wire = jax.tree.map(q, host_params)
-    dtypes = jax.tree.map(lambda l: None, host_params)
     dtypes = jax.tree.map(
         lambda w, x: str(np.asarray(x).dtype) if _is_q8(w) else None,
         wire,
@@ -99,10 +106,11 @@ def quantize_wire(
     }
 
 
-def dequantize_wire(wire_tree: Any, dtypes: Any) -> Any:
-    """Expand a ``quantize_wire`` payload (host or device) back to the
-    original parameter tree. One jitted elementwise program; raw leaves
-    pass through unchanged."""
+def dequant_program(dtypes: Any):
+    """The jitted wire->params expansion for a given dtype tree. Exposed so
+    callers can AOT-compile it from abstract wire avals (``wire_sds``)
+    before any timed upload — the first dequant call otherwise pays the
+    elementwise program's compile inside the measurement."""
 
     def run(w):
         return jax.tree.map(
@@ -116,7 +124,24 @@ def dequantize_wire(wire_tree: Any, dtypes: Any) -> Any:
             is_leaf=_is_q8,
         )
 
-    return jax.jit(run)(wire_tree)
+    return jax.jit(run)
+
+
+def dequantize_wire(wire_tree: Any, dtypes: Any) -> Any:
+    """Expand a ``quantize_wire`` payload (host or device) back to the
+    original parameter tree. One jitted elementwise program; raw leaves
+    pass through unchanged."""
+    return dequant_program(dtypes)(wire_tree)
+
+
+def wire_sds(wire_tree: Any) -> Any:
+    """Abstract (shape, dtype) tree of the wire payload ITSELF — the
+    argument avals for lowering ``dequant_program`` without values."""
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype
+                                       if not hasattr(x, "dtype") else x.dtype),
+        wire_tree,
+    )
 
 
 def wire_avals(wire_tree: Any, dtypes: Any) -> Any:
@@ -161,13 +186,22 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
     return tree
 
 
+# npz key for the embedded metadata record; '/' cannot collide with a
+# flattened parameter path ('/' is the separator, bare '' is impossible)
+_META_KEY = "__wire_meta__"
+
+
 def save_wire_cache(path: str, wire_tree: Any, dtypes: Any) -> None:
-    """Persist a quantized wire payload to ``path`` (.npz + .json sidecar),
-    so later sessions skip both the fp restore (2x the disk bytes) and the
-    host-side quantization pass. Written atomically (tmp + rename)."""
+    """Persist a quantized wire payload to ``path`` (one .npz), so later
+    sessions skip both the fp restore (2x the disk bytes) and the host-side
+    quantization pass. The dtype metadata is embedded IN the npz (as a
+    uint8 JSON record) so the artifact is a single file and the tmp+rename
+    write is genuinely atomic — a sidecar would need two renames and could
+    be left stale by a crash between them."""
     import json
 
     flat = _flatten(wire_tree)
+    assert _META_KEY not in flat, f"param path collides with {_META_KEY!r}"
     meta = {
         # npz drops non-native dtype names (bf16 comes back as raw V2):
         # record every leaf's dtype for a view-cast on load
@@ -179,13 +213,13 @@ def save_wire_cache(path: str, wire_tree: Any, dtypes: Any) -> None:
             if dt is not None
         },
     }
+    flat[_META_KEY] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **flat)
     os.replace(tmp, path)
-    with open(path + ".json.tmp", "w") as f:
-        json.dump(meta, f)
-    os.replace(path + ".json.tmp", path + ".json")
 
 
 def _flatten_dtypes(dtypes: Any) -> Dict[tuple, Any]:
@@ -207,11 +241,16 @@ def load_wire_cache(path: str) -> Tuple[Any, Any]:
     ready for ``jax.device_put`` + ``dequantize_wire``."""
     import json
 
-    with open(path + ".json") as f:
-        meta = json.load(f)
     data = np.load(path)
+    meta = json.loads(bytes(data[_META_KEY]).decode("utf-8"))
+    missing = (set(meta["leaf_dtypes"]) | {_META_KEY}) ^ set(data.files)
+    if missing:
+        raise ValueError(f"wire cache {path}: key mismatch vs metadata: "
+                         f"{sorted(missing)[:5]}...")
     flat = {}
     for k in data.files:
+        if k == _META_KEY:
+            continue
         v = data[k]
         want = meta["leaf_dtypes"][k]
         if str(v.dtype) != want:

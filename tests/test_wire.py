@@ -17,9 +17,14 @@ import numpy as np
 import pytest
 
 from clap2diffusion_tpu.utils.wire import (
+    dequant_program,
     dequantize_wire,
+    load_wire_cache,
     quantize_wire,
+    save_wire_cache,
     upload_params,
+    wire_avals,
+    wire_sds,
 )
 
 
@@ -95,6 +100,90 @@ def test_upload_params_matches_dequant_and_default_is_exact():
         lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
         via_upload, direct,
     )
+    assert all(jax.tree.leaves(same))
+
+
+def test_wire_cache_roundtrip(tmp_path):
+    """Single-artifact persistence: save -> load -> dequantize equals the
+    in-memory wire path bit-exactly, including a bf16 leaf (npz stores bf16
+    as raw V2 — the embedded metadata must view-cast it back)."""
+    params = _tree(2)
+    wire, dtypes, _ = quantize_wire(params, min_size=1 << 16)
+    path = str(tmp_path / "params.wire.npz")
+    save_wire_cache(path, wire, dtypes)
+    assert (tmp_path / "params.wire.npz").exists()
+    assert not (tmp_path / "params.wire.npz.json").exists()  # one artifact
+
+    wire2, dtypes2 = load_wire_cache(path)
+    assert dtypes2 == jax.tree.map(lambda d: d, dtypes)
+    same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b))
+        and np.asarray(a).dtype == np.asarray(b).dtype,
+        wire, wire2,
+    )
+    assert all(jax.tree.leaves(same))
+
+    out = jax.tree.map(np.asarray, dequantize_wire(wire2, dtypes2))
+    ref = jax.tree.map(np.asarray, dequantize_wire(wire, dtypes))
+    same = jax.tree.map(np.array_equal, ref, out)
+    assert all(jax.tree.leaves(same))
+    # bf16 dtype restored exactly
+    assert out["conv"]["kernel"].dtype == jnp.bfloat16
+
+
+def test_wire_cache_corruption_detected(tmp_path):
+    """A payload whose keys disagree with the embedded metadata (e.g. a
+    stale or truncated artifact) must raise, not view-cast garbage."""
+    params = {"a": np.ones((300, 300), np.float32)}
+    wire, dtypes, _ = quantize_wire(params, min_size=1)
+    path = str(tmp_path / "params.wire.npz")
+    save_wire_cache(path, wire, dtypes)
+    data = dict(np.load(path))
+    data["extra/q8"] = np.zeros(3, np.int8)  # key not in the metadata
+    np.savez(path, **data)
+    with pytest.raises(ValueError, match="key mismatch"):
+        load_wire_cache(path)
+
+
+def test_genuine_q8_named_subtree_not_mistaken():
+    """A real parameter subtree that happens to be named {'q8','s'} (but
+    holds float tensors) must ride the wire untouched, not be mis-expanded
+    as a quantized payload (ADVICE r4)."""
+    rng = np.random.default_rng(3)
+    params = {
+        "layer": {"q8": rng.normal(size=(300, 300)).astype(np.float32),
+                  "s": rng.normal(size=(300,)).astype(np.float32)}
+    }
+    wire, dtypes, stats = quantize_wire(params, min_size=1)
+    # the q8-named float leaf itself IS eligible and gets quantized as a
+    # normal leaf (wrapped in its own payload dict) — the point is that
+    # dequantize restores the original tree structure and values
+    out = jax.tree.map(np.asarray, dequantize_wire(wire, dtypes))
+    assert set(out["layer"].keys()) == {"q8", "s"}
+    assert out["layer"]["q8"].shape == (300, 300)
+    assert out["layer"]["s"].shape == (300,)
+    x = params["layer"]["q8"]
+    s = np.max(np.abs(x), axis=0) / 127.0
+    assert np.all(np.abs(out["layer"]["q8"] - x) <= s[None, :] / 2 + 1e-7)
+
+
+def test_wire_avals_and_aot_dequant():
+    """wire_avals describes the EXPANDED tree; dequant_program lowers and
+    compiles from wire_sds (abstract wire avals) with no values — the AOT
+    path bench.py uses to overlap compile with the upload."""
+    params = _tree(4)
+    wire, dtypes, _ = quantize_wire(params, min_size=1 << 16)
+    avals = wire_avals(wire, dtypes)
+    expect = jax.tree.map(
+        lambda x: (np.shape(x), np.asarray(x).dtype), params)
+    got = jax.tree.map(lambda a: (a.shape, np.dtype(a.dtype)), avals)
+    assert jax.tree.leaves(expect) == jax.tree.leaves(got)
+    assert jax.tree.structure(expect) == jax.tree.structure(got)
+
+    compiled = dequant_program(dtypes).lower(wire_sds(wire)).compile()
+    out = jax.tree.map(np.asarray, compiled(wire))
+    ref = jax.tree.map(np.asarray, dequantize_wire(wire, dtypes))
+    same = jax.tree.map(np.array_equal, ref, out)
     assert all(jax.tree.leaves(same))
 
 
