@@ -645,3 +645,59 @@ def test_stage2_conditioning_efficacy_end_to_end():
     assert cond_final < 0.995 * zero_final_eval, (cond_final, zero_final_eval)
     # (c) training amplified the audio path (gap grew ~0.07% -> ~4.9%)
     assert gap_at[2000] > 2.0 * max(gap_at[400], 0.0), gap_at
+
+    # (d) the LEVELS differentiate (VERDICT r4 next #7): on the trained
+    # weights, zeroing each routed level INDIVIDUALLY produces distinct
+    # loss deltas — the property the level->UNet router exists for
+    # (reference models/hierarchical_audio_v4.py:293-369 routes
+    # foreground/background/ambience to distinct UNet depths). Same
+    # paired-input-ablation design as (b): fixed weights, fixed noising
+    # draws, only the routed dict changes between runs.
+    import functools
+
+    from clap2diffusion_tpu.diffusion.ddim import NoiseSchedule
+    from clap2diffusion_tpu.models.condition import (
+        HierarchicalAudioEncoder,
+        temperature_from_config,
+    )
+    from clap2diffusion_tpu.models.unet import UNet2DCondition
+    from clap2diffusion_tpu.train.losses import diffusion_mse
+    from clap2diffusion_tpu.train.lora import merge_lora
+    from clap2diffusion_tpu.train.stages import _compute_cast, _sample_noising
+
+    hier = HierarchicalAudioEncoder(cfg=cfg.condition)
+    unet = UNet2DCondition(cfg=cfg.diffusion.unet)
+    schedule = NoiseSchedule.create(cfg.diffusion.scheduler)
+    cast = _compute_cast(cfg)
+    temp = temperature_from_config(int(state.step), cfg.condition)
+    vb = make_batch(8, seed=22)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def level_loss(p, key, drop):
+        _, info = hier.apply({"params": p["hierarchical"]}, vb["clap"],
+                             temp, return_all=True)
+        routed = dict(info["routed"])
+        if drop is not None:
+            routed[drop] = jnp.zeros_like(routed[drop])
+        noisy, noise, t = _sample_noising(schedule, jnp.asarray(vb["latent"]),
+                                          key)
+        up = merge_lora(cast(p["unet"]), p["lora"])
+        eps = unet.apply({"params": up}, cast(noisy), t,
+                         cast(jnp.asarray(vb["text_ctx"])), cast(routed))
+        return diffusion_mse(eps.astype(jnp.float32), noise)
+
+    def avg_loss(drop):
+        return float(np.mean([
+            level_loss(state.params, jax.random.key(1000 + k), drop)
+            for k in range(8)
+        ]))
+
+    base = avg_loss(None)
+    deltas = {lvl: avg_loss(lvl) - base for lvl in ("early", "mid", "late")}
+    hi, lo = max(deltas.values()), min(deltas.values())
+    # at least one level is load-bearing on its own...
+    assert hi > 0.0, (base, deltas)
+    # ...and the levels are NOT interchangeable: the costliest ablation is
+    # materially above the cheapest (a router collapsed to uniform routing
+    # would put all three within noise of each other)
+    assert hi - lo > 0.25 * hi, (base, deltas)
