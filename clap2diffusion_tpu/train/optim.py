@@ -10,7 +10,8 @@ Rebuilds the reference's training utilities as optax transforms:
   (reference configs/training_config.yaml:16,28,38) — real here via
   ``optax.MultiSteps``.
 - stage-wise freezing (reference train_stage2.py:67-91, train_stage3.py:92-117)
-  via ``optax.multi_transform`` masks over parameter paths.
+  via ``optax.masked`` over parameter paths — optimizer state (adam moments
+  AND the grad-accumulation buffer) exists only for trainable leaves.
 """
 
 from __future__ import annotations
@@ -69,8 +70,20 @@ def make_optimizer(
         if params is None:
             raise ValueError("freezing mask needs example params")
         labels = _path_labels(params, trainable)
-        tx = optax.multi_transform(
-            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        train_mask = jax.tree.map(lambda l: l == "train", labels)
+        freeze_mask = jax.tree.map(lambda l: l == "freeze", labels)
+        # accumulation INSIDE the trainable mask: MultiSteps outside the
+        # mask would hold an acc_grads buffer for EVERY leaf — in stages
+        # 2/3 that is ~3.4 GB of fp32 zeros accumulated for the frozen
+        # UNet body, pure HBM/checkpoint waste (measured as the OOM margin
+        # of the full-budget lifecycle run). optax.masked builds state
+        # (accumulator + adam moments) only for trainable leaves; frozen
+        # leaves carry no optimizer state and get their updates zeroed.
+        if cfg.grad_accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+        return optax.chain(
+            optax.masked(tx, train_mask),
+            optax.masked(optax.set_to_zero(), freeze_mask),
         )
     if cfg.grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)

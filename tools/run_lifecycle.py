@@ -162,17 +162,37 @@ def main():
     phase_done(samples=n_made or "cached")
 
     phase("prepare: params (cached init)")
-    params = cached_init_params(
+    from clap2diffusion_tpu.diffusion.pipeline import (
+        params_cache_path,
+        restore_params_host,
+    )
+
+    # HOST-resident master copy: the full fp32 pipeline tree (~4 GiB) must
+    # not sit in HBM through training — stage 2 needs the headroom for its
+    # own state (measured OOM otherwise). Stage subtrees go to device
+    # inside run_stage (shard_params); phases below device_put exactly the
+    # towers they use and free them after.
+    p_path = params_cache_path(
         cfg, seed=cfg.train.seed, dtype=jnp.float32,
         cache_dir=os.path.join(REPO, ".cache", "params"),
     )
+    if p_path and os.path.exists(p_path):
+        params = restore_params_host(p_path)
+    else:
+        params = cached_init_params(
+            cfg, seed=cfg.train.seed, dtype=jnp.float32,
+            cache_dir=os.path.join(REPO, ".cache", "params"),
+        )
+        params = jax.tree.map(np.asarray, params)
     phase_done()
 
     phase("prepare: VAE latent precompute (device)")
     if n_made:
-        n_lat = encode_latents(ds, vae_params=params["vae"],
+        vp = jax.device_put(params["vae"])
+        n_lat = encode_latents(ds, vae_params=vp,
                                vae_cfg=cfg.diffusion.vae,
                                image_size=cfg.diffusion.image_size)
+        del vp
     else:
         n_lat = "cached"
     phase_done(latents=n_lat)
@@ -181,7 +201,11 @@ def main():
     if n_made:
         from tools.precompute_embeddings import precompute
 
-        n_emb = precompute(cfg, params, ds)
+        pdev = dict(params)
+        pdev["clap_audio"] = jax.device_put(params["clap_audio"])
+        pdev["clip_text"] = jax.device_put(params["clip_text"])
+        n_emb = precompute(cfg, pdev, ds)
+        del pdev
     else:
         n_emb = "cached"
     phase_done(embeddings=n_emb)
