@@ -57,12 +57,26 @@ def restore_checkpoint(ckpt_dir: str, abstract_state, name: str = "state"):
 def restore_raw(ckpt_dir: str, name: str = "state") -> Dict[str, Any]:
     """Restore a checkpoint without an abstract pytree — shapes/dtypes come
     from the checkpoint's own metadata. This is the serving-side reader: it
-    does not need the optimizer structure that produced the state."""
+    does not need the optimizer structure that produced the state.
+
+    Leaves come back as HOST numpy: the default device restore would push
+    the full fp32 training state (~4 GB) through the TPU tunnel just so a
+    merge can pull it straight back — measured at 10+ tunnel-minutes per
+    restore in the full-budget lifecycle run. Consumers (merge/export/
+    serve) device_put exactly what they keep."""
     import orbax.checkpoint as ocp
 
     path = os.path.join(os.path.abspath(ckpt_dir), name)
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    try:
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+            dict(meta) if hasattr(meta, "keys") else meta,
+        )
+        return ckptr.restore(path, restore_args=restore_args)
+    finally:
+        ckptr.close()
 
 
 def merge_stage_params(
