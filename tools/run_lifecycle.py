@@ -68,13 +68,17 @@ def loss_curve(log_path: str) -> dict:
     train = [r for r in rows if "total" in r]
     val = [r for r in rows if "val_total" in r]
     out = {}
+    # "last" = the highest-step row, not the last line: a preempted re-run
+    # appends low-step rows after a completed run's curve in the same file
     if train:
+        last = max(train, key=lambda r: r.get("step", 0))
         out["first_total"] = round(train[0]["total"], 4)
-        out["last_total"] = round(train[-1]["total"], 4)
-        out["steps_per_s_last"] = round(train[-1].get("steps_per_s", 0), 2)
+        out["last_total"] = round(last["total"], 4)
+        out["steps_per_s_last"] = round(last.get("steps_per_s", 0), 2)
     if val:
         out["val_first"] = round(val[0]["val_total"], 4)
-        out["val_last"] = round(val[-1]["val_total"], 4)
+        out["val_last"] = round(
+            max(val, key=lambda r: r.get("step", 0))["val_total"], 4)
     return out
 
 
@@ -83,6 +87,12 @@ def main():
     if "--scale" in sys.argv:
         scale = float(sys.argv[sys.argv.index("--scale") + 1])
     skip_eval = "--skip-eval" in sys.argv
+    # --resume: a stage whose stage{N}_final checkpoint already sits at this
+    # run's budget is restored instead of retrained (the chain stays coherent:
+    # the stage loops are deterministic — two independent full runs produced
+    # bit-identical loss curves). The serve/eval phases still consume the
+    # restored chain, so the checkpoint-chain proof is unchanged.
+    resume = "--resume" in sys.argv
 
     import jax
 
@@ -213,21 +223,38 @@ def main():
     # ---- 2-4. the three stages, chained -----------------------------------
     stage_summaries = {}
     for stage in (1, 2, 3):
-        phase(f"stage {stage}: {budgets[stage]} steps")
-        run_stage(cfg, stage, params, data_root=ds,
-                  max_steps=budgets[stage], checkpoint_dir=ckpt,
-                  log_dir=logs)
-        payload = restore_raw(ckpt, f"stage{stage}_final")
-        assert int(np.asarray(payload["step"])) == budgets[stage], (
-            f"stage{stage}_final stopped at {payload['step']}"
-        )
+        payload = None
+        restore_s = 0.0
+        if resume:
+            t_r = time.perf_counter()
+            try:
+                cand = restore_raw(ckpt, f"stage{stage}_final")
+                if int(np.asarray(cand["step"])) == budgets[stage]:
+                    payload = cand
+                else:
+                    del cand
+            except Exception:
+                payload = None
+            restore_s = round(time.perf_counter() - t_r, 1)
+        if payload is not None:
+            phase(f"stage {stage}: {budgets[stage]} steps (resumed)")
+        else:
+            phase(f"stage {stage}: {budgets[stage]} steps")
+            run_stage(cfg, stage, params, data_root=ds,
+                      max_steps=budgets[stage], checkpoint_dir=ckpt,
+                      log_dir=logs)
+            payload = restore_raw(ckpt, f"stage{stage}_final")
+            assert int(np.asarray(payload["step"])) == budgets[stage], (
+                f"stage{stage}_final stopped at {payload['step']}"
+            )
         # the reference's stage-chained torch.load flow: the next stage
         # starts from this stage's LIVE weights (EMA is consumed at serve
         # time only — reference utils/training_utils.py:22-41 semantics)
         params = merge_stage_params(params, payload, stage)
+        del payload
         curve = loss_curve(os.path.join(logs, f"stage{stage}.jsonl"))
         stage_summaries[f"stage{stage}"] = curve
-        phase_done(**curve)
+        phase_done(**(dict(curve, restore_s=restore_s) if restore_s else curve))
 
     # ---- 5. export to the reference's artifact format ---------------------
     phase("export: stage3_final -> reference .pth")
