@@ -255,14 +255,15 @@ def run_stage(
     # may alias the caller's arrays — donation would invalidate the
     # caller's `params` tree (which is reused across stages)
     stage_params = jax.tree.map(jnp.copy, stage_params)
+    trainable = getattr(step_fn, "trainable", None)
     state = TrainState.create(
-        stage_params, tx, use_ema=scfg.use_ema,
-        trainable=getattr(step_fn, "trainable", None),
+        stage_params, tx, use_ema=scfg.use_ema, trainable=trainable,
     )
     if resume_from and checkpoint_dir:
         from clap2diffusion_tpu.train.checkpoint import restore_checkpoint
 
-        state = restore_checkpoint(checkpoint_dir, state, name=resume_from)
+        state = restore_checkpoint(checkpoint_dir, state, name=resume_from,
+                                   trainable=trainable)
     state = shard_params(state, mesh)  # params/opt/ema live on the mesh
     frontend = EmbeddingFrontend(cfg, params, data_root=data_root)
 
@@ -425,7 +426,8 @@ def run_stage(
             restore_sigs = []
 
     def _preempt_save():
-        save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_preempt")
+        save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_preempt",
+                        trainable=trainable)
         if is_coordinator():
             logger.log(done, {"preempted_by_signal": float(caught["sig"])})
         logger.close()
@@ -499,7 +501,8 @@ def run_stage(
                         and vm.get("val_total", np.inf) < best_val["v"]):
                     best_val["v"] = vm["val_total"]
                     save_checkpoint(checkpoint_dir, state,
-                                    name=f"stage{stage}_best")
+                                    name=f"stage{stage}_best",
+                                    trainable=trainable)
                     if is_coordinator() and best_sidecar:
                         import json as _json
 
@@ -507,7 +510,8 @@ def run_stage(
                             _json.dump({"val_total": best_val["v"],
                                         "step": done}, f)
             if checkpoint_dir and done % scfg.save_every < spc and done >= scfg.save_every:
-                save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_step{done}")
+                save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_step{done}",
+                                trainable=trainable)
             if caught["sig"] is not None:
                 _preempt_save()
             if done >= steps:
@@ -516,6 +520,7 @@ def run_stage(
     for s, prev in restore_sigs:
         _signal.signal(s, prev)
     if checkpoint_dir:
-        save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_final")
+        save_checkpoint(checkpoint_dir, state, name=f"stage{stage}_final",
+                        trainable=trainable)
     logger.close()
     return state
