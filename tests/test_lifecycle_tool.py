@@ -49,8 +49,28 @@ def test_loss_curve_preempted_rerun_appends_low_steps(tmp_path):
     assert out["last_total"] == 1.1
     assert out["steps_per_s_last"] == 14.0
     assert out["val_last"] == 1.3
-    # first_total is genuinely the first row ever logged
+    # first_total comes from the budget run, not the preempted tail
     assert out["first_total"] == 2.0
+
+
+def test_loss_curve_smoke_rows_before_budget_run(tmp_path):
+    """A smoke-scale run's rows precede the budget run in the same file
+    (observed: the committed stage3.jsonl's smoke rows start at a
+    different loss because the smoke's stage chain differs). first/last
+    must both come from the run that reached the highest step."""
+    rows = [
+        {"step": 25, "total": 3.135, "steps_per_s": 1.0},   # smoke chain
+        {"step": 50, "total": 2.92, "steps_per_s": 1.2},
+        {"step": 50, "val_total": 2.8},
+        {"step": 25, "total": 2.4718, "steps_per_s": 0.7},  # budget run
+        {"step": 1000, "total": 2.3684, "steps_per_s": 4.0},
+        {"step": 1000, "val_total": 2.4612},
+    ]
+    out = loss_curve(_write(tmp_path, rows))
+    assert out["first_total"] == 2.4718
+    assert out["last_total"] == 2.3684
+    assert out["val_first"] == 2.4612
+    assert out["val_last"] == 2.4612
 
 
 def test_loss_curve_no_val_rows(tmp_path):

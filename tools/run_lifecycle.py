@@ -65,20 +65,30 @@ def phase_done(**extra):
 def loss_curve(log_path: str) -> dict:
     """First/last train + val losses from a stage's JSONL log."""
     rows = [json.loads(l) for l in open(log_path)]
-    train = [r for r in rows if "total" in r]
-    val = [r for r in rows if "val_total" in r]
+    # A stage's JSONL may hold several runs appended back-to-back (smoke
+    # runs, a completed run, a preempted re-run). Split on step decreases
+    # and summarize the run that reached the highest step — summarizing the
+    # whole file mixes curves (a smoke run's first row is NOT the budget
+    # run's starting loss, a preempted re-run's last row is not its end).
+    runs: list = [[]]
+    last_step = -1
+    for r in rows:
+        if r.get("step", 0) < last_step:
+            runs.append([])
+        runs[-1].append(r)
+        last_step = r.get("step", 0)
+    budget_run = max(runs, key=lambda rr: max((r.get("step", 0) for r in rr),
+                                              default=-1))
+    train = [r for r in budget_run if "total" in r]
+    val = [r for r in budget_run if "val_total" in r]
     out = {}
-    # "last" = the highest-step row, not the last line: a preempted re-run
-    # appends low-step rows after a completed run's curve in the same file
     if train:
-        last = max(train, key=lambda r: r.get("step", 0))
         out["first_total"] = round(train[0]["total"], 4)
-        out["last_total"] = round(last["total"], 4)
-        out["steps_per_s_last"] = round(last.get("steps_per_s", 0), 2)
+        out["last_total"] = round(train[-1]["total"], 4)
+        out["steps_per_s_last"] = round(train[-1].get("steps_per_s", 0), 2)
     if val:
         out["val_first"] = round(val[0]["val_total"], 4)
-        out["val_last"] = round(
-            max(val, key=lambda r: r.get("step", 0))["val_total"], 4)
+        out["val_last"] = round(val[-1]["val_total"], 4)
     return out
 
 
@@ -117,6 +127,8 @@ def main():
     from clap2diffusion_tpu.train.trainer import run_stage
 
     root = os.path.join(REPO, ".cache", "lifecycle")
+    if "--root" in sys.argv:
+        root = os.path.abspath(sys.argv[sys.argv.index("--root") + 1])
     ds = os.path.join(root, "ds")
     ckpt = os.path.join(root, "ckpt")
     logs = os.path.join(root, "logs")
