@@ -105,6 +105,11 @@ def test_stage2_lora_trains_only_adapters_and_serves(tmp_path, tiny):
 
     # serving: checkpoint folds via merge_stage_params, pipeline runs
     payload = restore_raw(str(tmp_path / "ckpt"), "stage2_final")
+    # the on-disk artifact is trainable-only: the frozen UNet body is
+    # pruned at save (train/checkpoint.py::prune_frozen_unet), leaving
+    # only the injection processors under 'unet'
+    assert all(k.startswith("audio_inject") for k in payload["params"]["unet"])
+    assert "lora" in payload["params"]
     serving = merge_stage_params(params, payload, stage=2)
     assert "lora" not in serving
     from clap2diffusion_tpu.diffusion.pipeline import AudioToImagePipeline
