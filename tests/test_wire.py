@@ -132,17 +132,35 @@ def test_wire_cache_roundtrip(tmp_path):
 
 
 def test_wire_cache_corruption_detected(tmp_path):
-    """A payload whose keys disagree with the embedded metadata (e.g. a
-    stale or truncated artifact) must raise, not view-cast garbage."""
+    """Corrupt artifacts must raise, not view-cast garbage: a clobbered
+    magic (unknown container) and a v1 npz whose keys disagree with the
+    embedded metadata (stale partial write) both fail loudly."""
+    import json
+
+    from clap2diffusion_tpu.utils.wire import _META_KEY, _flatten, dequant_map
+
     params = {"a": np.ones((300, 300), np.float32)}
     wire, dtypes, _ = quantize_wire(params, min_size=1)
     path = str(tmp_path / "params.wire.npz")
     save_wire_cache(path, wire, dtypes)
-    data = dict(np.load(path))
-    data["extra/q8"] = np.zeros(3, np.int8)  # key not in the metadata
-    np.savez(path, **data)
-    with pytest.raises(ValueError, match="key mismatch"):
+    raw = bytearray(open(path, "rb").read())
+    raw[:8] = b"XXXXXXXX"
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(Exception):  # unknown container (np.load rejects it)
         load_wire_cache(path)
+
+    # v1 npz with a key the metadata doesn't know
+    flat = _flatten(wire)
+    meta = {"leaf_dtypes": {k: str(v.dtype) for k, v in flat.items()},
+            "dequant_dtypes": dequant_map(dtypes)}
+    flat[_META_KEY] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    flat["extra/q8"] = np.zeros(3, np.int8)
+    v1 = str(tmp_path / "v1.wire.npz")
+    with open(v1, "wb") as f:
+        np.savez(f, **flat)
+    with pytest.raises(ValueError, match="key mismatch"):
+        load_wire_cache(v1)
 
 
 def test_genuine_q8_named_subtree_not_mistaken():
@@ -194,6 +212,115 @@ def test_zero_and_tiny_channels_are_safe():
     out = np.asarray(dequantize_wire(wire, dtypes)["k"])
     assert np.all(np.isfinite(out))
     assert np.all(out[:, 1:] == 0.0)
+
+
+def test_packed_wire_matches_per_leaf_path():
+    """v2 packed format: ONE contiguous 1-D buffer PER DTYPE + layout
+    (dtype grouping, not byte-packing — a uint8 bitcast formulation needs
+    [n, itemsize] reshapes whose 128-lane minor-axis padding blew the
+    payload up 32x in the TPU compiler). The fused unpack+dequant program
+    must reproduce the per-leaf dequant bit-exactly (incl. a bf16 leaf and
+    an int32 raw leaf), packed_views must be zero-copy-equal to the wire
+    tree, and packed_avals must describe the expanded tree. Motivation: on
+    the axon tunnel the 2,039-leaf tree upload pays ~25% per-transfer RPC
+    overhead vs one buffer (measured 101.2 vs 78.1 s for the same
+    1.04 GiB)."""
+    from clap2diffusion_tpu.utils.wire import (
+        dequant_map, pack_wire, packed_avals, packed_dequant_program,
+        packed_views,
+    )
+
+    params = _tree(5)
+    wire, dtypes, _ = quantize_wire(params, min_size=1 << 16)
+    ref = jax.tree.map(np.asarray, dequantize_wire(wire, dtypes))
+
+    groups, layout = pack_wire(wire)
+    # one 1-D buffer per dtype, sized exactly to its leaves
+    assert all(buf.ndim == 1 and str(buf.dtype) == dt
+               for dt, buf in groups.items())
+    leaf_bytes = sum(np.asarray(x).nbytes for x in jax.tree.leaves(wire))
+    assert sum(b.nbytes for b in groups.values()) == leaf_bytes
+
+    views = packed_views(groups, layout)
+    same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b))
+        and np.asarray(a).dtype == np.asarray(b).dtype, views, wire)
+    assert all(jax.tree.leaves(same))
+
+    dq = dequant_map(dtypes)
+    avals = packed_avals(layout, dq)
+    expect = jax.tree.map(lambda x: (np.shape(x), np.asarray(x).dtype), ref)
+    got = jax.tree.map(lambda a: (a.shape, np.dtype(a.dtype)), avals)
+    assert jax.tree.leaves(expect) == jax.tree.leaves(got)
+    assert jax.tree.structure(expect) == jax.tree.structure(got)
+
+    # AOT path: lower from the abstract buffer avals, run on the values
+    compiled = packed_dequant_program(layout, dq).lower({
+        dt: jax.ShapeDtypeStruct(buf.shape, buf.dtype)
+        for dt, buf in groups.items()
+    }).compile()
+    out = jax.tree.map(np.asarray, compiled(groups))
+    same = jax.tree.map(np.array_equal, ref, out)
+    assert all(jax.tree.leaves(same))
+
+
+def test_packed_cache_roundtrip_and_v1_compat(tmp_path):
+    """save_wire_cache writes v2 (single buffer); load_packed_wire reads
+    it back bit-exactly, and load_wire_cache still reads BOTH formats —
+    a legacy v1 (per-leaf) artifact keeps loading after the format bump."""
+    import json
+
+    from clap2diffusion_tpu.utils.wire import (
+        _META_KEY, dequant_map, load_packed_wire, pack_wire,
+    )
+
+    params = _tree(6)
+    wire, dtypes, _ = quantize_wire(params, min_size=1 << 16)
+    path = str(tmp_path / "v2.wire.npz")
+    save_wire_cache(path, wire, dtypes)
+
+    groups, layout, dq = load_packed_wire(path)
+    ref_groups, ref_layout = pack_wire(wire)
+    assert set(groups) == set(ref_groups)
+    for dt in groups:
+        assert np.array_equal(groups[dt], ref_groups[dt])
+        assert groups[dt].dtype == ref_groups[dt].dtype  # bf16 view-cast
+    assert layout == ref_layout
+    assert dq == dequant_map(dtypes)
+
+    # write a v1-format artifact by hand (what pre-round-5 sessions left
+    # on disk) and load it through the same entry point
+    from clap2diffusion_tpu.utils.wire import _flatten
+
+    flat = _flatten(wire)
+    meta = {
+        "leaf_dtypes": {k: str(v.dtype) for k, v in flat.items()},
+        "dequant_dtypes": dq,
+    }
+    flat[_META_KEY] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    v1 = str(tmp_path / "v1.wire.npz")
+    with open(v1, "wb") as f:
+        np.savez(f, **flat)
+    wire1, dtypes1 = load_wire_cache(v1)
+    same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        wire1, wire)
+    assert all(jax.tree.leaves(same))
+    assert dtypes1 == jax.tree.map(lambda d: d, dtypes)
+
+
+def test_packed_cache_truncation_detected(tmp_path):
+    """A v2 artifact cut short (crash mid-write of a non-atomic copy,
+    partial download) must raise, not memory-map garbage."""
+    params = {"a": np.ones((300, 300), np.float32)}
+    wire, dtypes, _ = quantize_wire(params, min_size=1)
+    path = str(tmp_path / "params.wire.npz")
+    save_wire_cache(path, wire, dtypes)
+    full = open(path, "rb").read()
+    open(path, "wb").write(full[:len(full) - 4096])
+    with pytest.raises(ValueError, match="truncated"):
+        load_wire_cache(path)
 
 
 @pytest.mark.slow
