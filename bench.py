@@ -234,7 +234,14 @@ def main():
         cfg, seed=0, dtype=jnp.bfloat16,
         cache_dir=os.path.join(REPO, ".cache", "params"),
     )
-    wire_path = (path + ".wire.npz") if path else None
+    # v2 packed artifacts are raw binary (.wire.bin); pre-round-5 sessions
+    # left npz-container files under .wire.npz — still loadable
+    wire_save_path = (path + ".wire.bin") if path else None
+    wire_path = wire_save_path
+    if path and not os.path.exists(wire_save_path):
+        legacy = path + ".wire.npz"
+        if os.path.exists(legacy):
+            wire_path = legacy
 
     packed = layout = dq = host_params = None
     if int8_wire and wire_path and os.path.exists(wire_path):
@@ -303,12 +310,12 @@ def main():
             log(f"pack_wire (host): {time.time() - t0:.1f}s "
                 f"({sum(b.nbytes for b in packed.values()) / 2**30:.2f} GiB "
                 f"in {len(packed)} dtype buffers)")
-            if wire_path:
+            if wire_save_path:
                 t0 = time.time()
-                save_wire_cache(wire_path, wire_tree, wire_dtypes,
+                save_wire_cache(wire_save_path, wire_tree, wire_dtypes,
                                 packed_layout=(packed, layout))
                 log(f"save wire cache (v2 packed): {time.time() - t0:.1f}s "
-                    f"-> {wire_path}")
+                    f"-> {wire_save_path}")
     elif packed is None:
         # cold param cache (first session on this machine): jit-init all
         # towers on device and persist them for every later session
@@ -325,22 +332,6 @@ def main():
 
     if packed is not None or host_params is not None:
         result = {}
-        dequant = None
-        if int8_wire:
-            from clap2diffusion_tpu.utils.wire import packed_dequant_program
-
-            # compile the unpack+dequant program BEFORE the timed upload
-            # starts (ADVICE r4: its first-call compile otherwise lands
-            # inside upload_s); lands in the persistent cache like
-            # everything else. One program slices every leaf out of the
-            # single uploaded buffer and expands the int8 ones.
-            t0 = time.time()
-            dequant = packed_dequant_program(layout, dq).lower({
-                dt: jax.ShapeDtypeStruct(buf.shape, buf.dtype)
-                for dt, buf in packed.items()
-            }).compile()
-            log(f"unpack+dequant compile (pre-upload): "
-                f"{time.time() - t0:.1f}s")
         diag["upload_bytes"] = int(
             sum(b.nbytes for b in packed.values()) if int8_wire else sum(
                 np.asarray(x).nbytes for x in jax.tree.leaves(host_params)
@@ -349,6 +340,25 @@ def main():
 
         def upload():
             try:
+                if int8_wire:
+                    from clap2diffusion_tpu.utils.wire import (
+                        packed_dequant_program,
+                    )
+
+                    # compile the unpack+dequant program INSIDE this
+                    # thread, timed separately from upload_s (ADVICE r4:
+                    # its first-call compile otherwise lands inside the
+                    # upload measure) — the main thread's 50-step AOT
+                    # lower starts immediately instead of waiting ~8 s
+                    # behind this cache-hit. One program slices every
+                    # leaf out of the per-dtype buffers and expands the
+                    # int8 ones.
+                    t = time.time()
+                    dequant = packed_dequant_program(layout, dq).lower({
+                        dt: jax.ShapeDtypeStruct(buf.shape, buf.dtype)
+                        for dt, buf in packed.items()
+                    }).compile()
+                    result["dequant_compile_s"] = time.time() - t
                 t = time.time()
                 if int8_wire:
                     # a handful of transfers: the payload rides the tunnel
@@ -385,6 +395,10 @@ def main():
             raise RuntimeError("param upload thread failed") from result["error"]
         pipe.params = result["params"]
         pipe.compute_dtype = jax.tree.leaves(pipe.params["unet"])[0].dtype
+        if "dequant_compile_s" in result:
+            diag["dequant_compile_s"] = round(result["dequant_compile_s"], 1)
+            log(f"unpack+dequant compile (in upload thread): "
+                f"{diag['dequant_compile_s']}s")
         diag["upload_s"] = round(result["upload_s"], 1)
         log(f"upload: {diag['upload_s']}s "
             f"({diag['upload_bytes'] / 2**30:.2f} GiB on the wire)")
